@@ -1,0 +1,138 @@
+"""Log-mel spectrogram as a fused matmul chain (TPU-native STFT).
+
+The reference computes mel via torch.stft + cuFFT (whisper_at/audio.py:110-157).
+On TPU we avoid the FFT op entirely: with N_FFT=400 (not a power of two) the
+best mapping to the MXU is a windowed real-DFT as two dense matmuls,
+
+    Re = frames @ (hann * cos)   [n_frames, 400] x [400, 201]
+    Im = frames @ (hann * sin)
+    power = Re^2 + Im^2
+    mel   = power @ mel_fb.T     [n_frames, 201] x [201, 80]
+
+followed by the reference's log10 / clamp / dynamic-range / affine chain.
+The Hann window folds into the DFT matrices, framing is pure reshape+slice
+(no gather), and XLA fuses the elementwise tail into the matmuls. Per 30 s
+window this is ~1 GFLOP - noise next to the encoder.
+
+Frame semantics match torch.stft(center=True, pad_mode='reflect'): the caller
+reflect-pads 200 samples on the left edge of the whole signal; blocks are then
+processed with a 240-sample lookahead so block boundaries are seamless.
+"""
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SAMPLE_RATE = 16000
+N_FFT = 400
+N_MELS = 80
+HOP_LENGTH = 160
+CHUNK_LENGTH = 30
+N_SAMPLES = CHUNK_LENGTH * SAMPLE_RATE  # 480000 samples / 30 s
+N_FRAMES = N_SAMPLES // HOP_LENGTH  # 3000 mel frames / 30 s
+
+_ASSETS = os.path.join(os.path.dirname(os.path.dirname(__file__)), "assets")
+
+
+@functools.lru_cache(maxsize=None)
+def mel_filters(n_mels: int = N_MELS) -> np.ndarray:
+    """The 80-bin librosa mel filterbank shipped as a data asset, [80, 201]."""
+    assert n_mels == 80, f"Unsupported n_mels: {n_mels}"
+    with np.load(os.path.join(_ASSETS, "mel_filters.npz")) as f:
+        return f[f"mel_{n_mels}"].astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _dft_matrices() -> tuple:
+    """Windowed real-DFT analysis matrices, each [N_FFT, N_FFT//2 + 1]."""
+    n = np.arange(N_FFT)[:, None]  # [400, 1]
+    k = np.arange(N_FFT // 2 + 1)[None, :]  # [1, 201]
+    angle = 2.0 * np.pi * n * k / N_FFT
+    # periodic Hann, identical to torch.hann_window(N_FFT)
+    window = 0.5 * (1.0 - np.cos(2.0 * np.pi * np.arange(N_FFT) / N_FFT))
+    cos_m = (window[:, None] * np.cos(angle)).astype(np.float32)
+    sin_m = (window[:, None] * np.sin(angle)).astype(np.float32)
+    return cos_m, sin_m
+
+
+def _frame_signal(x: jnp.ndarray, n_frames: int) -> jnp.ndarray:
+    """Extract overlapping [n_frames, N_FFT] frames at HOP_LENGTH stride.
+
+    Pure reshape + slice + concat: frame t = x[160*t : 160*t + 400], built from
+    three shifted views of x reshaped to 160-sample chunks. Requires
+    len(x) >= (n_frames + 2) * HOP_LENGTH.
+    """
+    n_chunks = n_frames + 2
+    c = x[: n_chunks * HOP_LENGTH].reshape(n_chunks, HOP_LENGTH)
+    return jnp.concatenate(
+        [c[0:n_frames], c[1 : n_frames + 1], c[2 : n_frames + 2, : N_FFT - 2 * HOP_LENGTH]],
+        axis=1,
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _mel_power(x: jnp.ndarray, n_frames: int) -> jnp.ndarray:
+    """Windowed DFT power -> mel energies for one padded block. [n_frames, 80]."""
+    cos_m, sin_m = _dft_matrices()
+    frames = _frame_signal(x.astype(jnp.float32), n_frames)
+    # HIGHEST precision: the MXU's default bf16 passes are too coarse for the
+    # log-domain mel chain; full-fp32 matmuls here are still negligible FLOPs.
+    dot = functools.partial(jnp.dot, precision=jax.lax.Precision.HIGHEST)
+    re = dot(frames, jnp.asarray(cos_m))
+    im = dot(frames, jnp.asarray(sin_m))
+    power = re * re + im * im
+    return dot(power, jnp.asarray(mel_filters().T))
+
+
+@jax.jit
+def _log_normalize(mel_spec: jnp.ndarray, n_valid: jnp.ndarray) -> jnp.ndarray:
+    """log10 + clamp + 8-dB dynamic-range floor + (x+4)/4 affine.
+
+    The dynamic-range max is taken over the first `n_valid` frames only; the
+    zero-power bucket-padding frames log out at -10 so they can never raise
+    the max, but masking keeps the semantics exact even for silent inputs.
+    """
+    log_spec = jnp.log10(jnp.clip(mel_spec, min=1e-10))
+    row = jax.lax.broadcasted_iota(jnp.int32, log_spec.shape, 0)
+    valid_max = jnp.max(jnp.where(row < n_valid, log_spec, -jnp.inf))
+    log_spec = jnp.maximum(log_spec, valid_max - 8.0)
+    return (log_spec + 4.0) / 4.0
+
+
+def log_mel_spectrogram_jax(audio: np.ndarray, padding: int = 0) -> jax.Array:
+    """Compute the log-mel spectrogram of a 16 kHz waveform on device.
+
+    Matches the reference formula chain (whisper_at/audio.py:110-157) at fp32:
+    reflect-pad 200 samples on both edges (torch.stft center mode), hann-
+    windowed DFT power, mel projection, log/clamp/floor/scale. The last STFT
+    frame is dropped exactly as the reference's `stft[..., :-1]` does.
+
+    Returns [80, n_frames] with n_frames = (len(audio) + padding) // 160.
+    Device-side shapes are bucketed to 30 s multiples so distinct audio
+    lengths reuse one compiled program.
+    """
+    audio = np.asarray(audio, dtype=np.float32).reshape(-1)
+    if padding > 0:
+        audio = np.concatenate([audio, np.zeros(padding, np.float32)])
+    total_len = audio.shape[0]
+    n_frames = total_len // HOP_LENGTH
+
+    # torch.stft(center=True) reflect padding of the zero-padded signal
+    left = audio[1:201][::-1] if total_len > 200 else np.zeros(200, np.float32)
+    right = audio[-2:-202:-1] if total_len > 200 else np.zeros(200, np.float32)
+    sig = np.concatenate([left, audio, right])
+
+    # bucket the device-side length to multiples of 30 s to bound recompiles
+    bucket = max(1, -(-n_frames // N_FRAMES)) * N_FRAMES
+    pad_to = (bucket + 2) * HOP_LENGTH
+    if sig.shape[0] < pad_to:
+        sig = np.concatenate([sig, np.zeros(pad_to - sig.shape[0], np.float32)])
+    else:
+        sig = sig[:pad_to]
+
+    mel = _mel_power(jnp.asarray(sig), bucket)  # [bucket, 80]
+    log_spec = _log_normalize(mel, jnp.int32(n_frames))
+    return log_spec[:n_frames].T  # [80, n_frames]

@@ -1,0 +1,35 @@
+from .helpers import (
+    compression_ratio,
+    exact_div,
+    format_timestamp,
+    make_safe,
+    optional_float,
+    optional_int,
+    str2bool,
+)
+from .writers import (
+    ResultWriter,
+    WriteJSON,
+    WriteSRT,
+    WriteTSV,
+    WriteTXT,
+    WriteVTT,
+    get_writer,
+)
+
+__all__ = [
+    "compression_ratio",
+    "exact_div",
+    "format_timestamp",
+    "make_safe",
+    "optional_float",
+    "optional_int",
+    "str2bool",
+    "ResultWriter",
+    "WriteJSON",
+    "WriteSRT",
+    "WriteTSV",
+    "WriteTXT",
+    "WriteVTT",
+    "get_writer",
+]
