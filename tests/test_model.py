@@ -1,0 +1,156 @@
+"""Model-core parity and consistency tests.
+
+Numerical parity runs against the torch oracle (tests/oracle_torch.py), an
+independent implementation of the reference math. Incremental decoding is
+additionally checked for self-consistency against the full forward pass.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import oracle_torch as oracle
+from whisper_at_tpu.models.decoder import (
+    decoder_forward,
+    init_cache,
+    precompute_cross_kv,
+    project_logits,
+)
+from whisper_at_tpu.models.dims import ModelDimensions, dims_for
+from whisper_at_tpu.models.whisper import Whisper, build_model
+
+TINY_DIMS = ModelDimensions(
+    n_mels=80, n_audio_ctx=1500, n_audio_state=64, n_audio_head=4,
+    n_audio_layer=3, n_vocab=51865, n_text_ctx=448, n_text_head=4,
+    n_text_state=64, n_text_layer=3,
+)
+
+
+@pytest.fixture(scope="module")
+def model():
+    return Whisper(TINY_DIMS, seed=1)
+
+
+@pytest.fixture(scope="module")
+def model_low():
+    # low-compute variant needs rep_dim > 512 to be meaningful; use 520-ish small
+    dims = ModelDimensions(
+        n_mels=80, n_audio_ctx=1500, n_audio_state=64, n_audio_head=4,
+        n_audio_layer=2, n_vocab=51865, n_text_ctx=448, n_text_head=4,
+        n_text_state=64, n_text_layer=2,
+    )
+    return Whisper(dims, at_low_compute=True, seed=2)
+
+
+@pytest.fixture(scope="module")
+def mel():
+    rng = np.random.default_rng(0)
+    return rng.standard_normal((2, 80, 3000)).astype(np.float32) * 0.3
+
+
+def test_encoder_matches_oracle(model, mel):
+    x, all_x = model.embed_audio(jnp.asarray(mel), fp16=False)
+    gx, gall = oracle.encoder(model.params["encoder"], mel, TINY_DIMS.n_audio_head)
+    assert x.shape == (2, 1500, 64)
+    assert all_x.shape == (2, 3, 75, 64)
+    np.testing.assert_allclose(np.asarray(x), gx.numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(all_x), gall.numpy(), atol=2e-4)
+
+
+def test_decoder_matches_oracle(model, mel):
+    x, _ = model.embed_audio(jnp.asarray(mel), fp16=False)
+    tokens = np.array([[50258, 50259, 50359, 1770, 13], [50258, 50260, 50359, 2221, 11]])
+    logits = model.logits(jnp.asarray(tokens, jnp.int32), x, fp16=False)
+    golden = oracle.decoder_logits(
+        model.params["decoder"], tokens, np.asarray(x), TINY_DIMS.n_text_head
+    )
+    np.testing.assert_allclose(np.asarray(logits), golden.numpy(), atol=3e-3)
+
+
+@pytest.mark.parametrize("time_res", [10, 4, 2.4])
+def test_at_head_matches_oracle(model, mel, time_res):
+    _, all_x = model.embed_audio(jnp.asarray(mel), fp16=False)
+    ours = model.at_forward(all_x[0], time_resolution=time_res)
+    golden = oracle.at_head(
+        model.params["at_model"], np.asarray(all_x[0]), model.at_mode, time_res
+    )
+    assert ours.shape == golden.shape
+    np.testing.assert_allclose(np.asarray(ours), golden.numpy(), atol=2e-4)
+
+
+def test_at_head_low_compute(model_low, mel):
+    _, all_x = model_low.embed_audio(jnp.asarray(mel), fp16=False)
+    ours = model_low.at_forward(all_x[0], time_resolution=10)
+    golden = oracle.at_head(
+        model_low.params["at_model"], np.asarray(all_x[0]), model_low.at_mode, 10
+    )
+    assert ours.shape == (3, 527)
+    np.testing.assert_allclose(np.asarray(ours), golden.numpy(), atol=2e-4)
+
+
+def test_at_head_window_offset(model, mel):
+    # slicing at_start frames then tagging must match the oracle on the slice
+    _, all_x = model.embed_audio(jnp.asarray(mel), fp16=False)
+    sliced = np.asarray(all_x[0])[:, 7:, :]
+    ours = model.at_forward(jnp.asarray(sliced), time_resolution=4)
+    golden = oracle.at_head(model.params["at_model"], sliced, model.at_mode, 4)
+    np.testing.assert_allclose(np.asarray(ours), golden.numpy(), atol=2e-4)
+
+
+def test_incremental_decode_matches_full(model, mel):
+    """prefill + single-token steps through the KV cache == full forward."""
+    dims = model.dims
+    x, _ = model.embed_audio(jnp.asarray(mel), fp16=False)
+    tokens = np.array(
+        [[50258, 50259, 50359, 1770, 13, 700], [50258, 50260, 50359, 2221, 11, 333]]
+    )
+    full_logits = np.asarray(model.logits(jnp.asarray(tokens, jnp.int32), x, fp16=False))
+
+    dec = model.params["decoder"]
+    ck, cv = precompute_cross_kv(dec, x, jnp.float32)
+    n_ctx = 32
+    sk, sv = init_cache(dims.n_text_layer, 2, n_ctx, dims.n_text_state, jnp.float32)
+
+    # prefill the first 3 tokens with a left pad of 2 (prompt-bucket semantics)
+    pad = 2
+    prefill = 5  # bucket size
+    buf = np.zeros((2, prefill), np.int32)
+    buf[:, pad:] = tokens[:, :3]
+    h, sk, sv = decoder_forward(
+        dec, jnp.asarray(buf), ck, cv, sk, sv,
+        jnp.int32(0), jnp.int32(pad), dims.n_text_head, jnp.float32,
+    )
+    logits = np.asarray(project_logits(dec, h))
+    np.testing.assert_allclose(logits[:, pad:], full_logits[:, :3], atol=3e-3)
+
+    # then single-token steps
+    for i in range(3, 6):
+        h, sk, sv = decoder_forward(
+            dec, jnp.asarray(tokens[:, i : i + 1], dtype=jnp.int32), ck, cv, sk, sv,
+            jnp.int32(prefill + i - 3), jnp.int32(pad), dims.n_text_head, jnp.float32,
+        )
+        step_logits = np.asarray(project_logits(dec, h))[:, 0]
+        np.testing.assert_allclose(step_logits, full_logits[:, i], atol=3e-3)
+
+
+def test_bf16_encoder_close_to_fp32(model, mel):
+    x32, _ = model.embed_audio(jnp.asarray(mel), fp16=False)
+    x16, _ = model.embed_audio(jnp.asarray(mel), fp16=True)
+    assert x16.dtype == jnp.bfloat16
+    diff = np.abs(np.asarray(x16, np.float32) - np.asarray(x32)).mean()
+    assert diff < 0.05
+
+
+def test_dims_registry():
+    d = dims_for("large-v1")
+    assert (d.n_audio_state, d.n_audio_head, d.n_audio_layer) == (1280, 20, 32)
+    assert dims_for("small.en").n_vocab == 51864
+    assert dims_for("tiny").n_vocab == 51865
+    with pytest.raises(ValueError):
+        dims_for("huge")
+
+
+def test_alignment_heads_default(model):
+    assert model.alignment_heads.shape == (3, 4)
+    assert model.alignment_heads[2].all()
+    assert not model.alignment_heads[0].any()

@@ -1,0 +1,649 @@
+"""Decoding engine: options, vectorized logit filters, jitted sampling loops.
+
+Re-design of the reference decoding stack (whisper_at/decoding.py) for XLA:
+
+* the token-at-a-time Python loop with hook-based KV cache
+  (decoding.py:672-703) becomes a `lax.while_loop` whose carry holds the
+  token buffer, KV cache, and filter state — the whole 30 s decode is ONE
+  device program with no host round-trips;
+* the per-row Python timestamp rules (decoding.py:446-499) become pure
+  tensor ops on [B, V] logits;
+* variable-length prompts are bucketed into a fixed prefill size so prompt
+  changes across transcribe windows never trigger recompilation;
+* beams/best-of ride the batch axis.
+"""
+
+from dataclasses import dataclass, field, replace
+from functools import lru_cache, partial
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .audio import CHUNK_LENGTH
+from .models.decoder import (
+    decoder_forward,
+    init_cache,
+    precompute_cross_kv,
+    project_logits,
+)
+from .tokenizer import Tokenizer, get_tokenizer
+from .utils import compression_ratio
+
+NEG_INF = float("-inf")
+
+
+@dataclass(frozen=True)
+class DecodingOptions:
+    # whether to perform X->X "transcribe" or X->English "translate"
+    task: str = "transcribe"
+    # language that the audio is in; uses detected language if None
+    language: Optional[str] = None
+
+    # sampling-related options
+    temperature: float = 0.0
+    sample_len: Optional[int] = None  # maximum number of tokens to sample
+    best_of: Optional[int] = None  # independent sample trajectories if t > 0
+    beam_size: Optional[int] = None  # beams in beam search if t == 0
+    patience: Optional[float] = None  # beam search patience (arxiv:2204.05424)
+
+    # "alpha" in Google NMT, or None for length norm, when ranking generations
+    length_penalty: Optional[float] = None
+
+    # text or tokens to feed as the prompt or the prefix
+    prompt: Optional[Union[str, List[int]]] = None
+    prefix: Optional[Union[str, List[int]]] = None
+
+    # token suppression; "-1" expands to the tokenizer's non-speech set
+    suppress_tokens: Optional[Union[str, Iterable[int]]] = "-1"
+    suppress_blank: bool = True
+
+    # timestamp sampling options
+    without_timestamps: bool = False
+    max_initial_timestamp: Optional[float] = 1.0
+
+    # half precision (bfloat16 on TPU); name kept for API parity
+    fp16: bool = True
+
+
+@dataclass(frozen=False)
+class DecodingResult:
+    audio_features: object
+    audio_features_for_at: object  # stacked pooled encoder reps for tagging
+    language: str
+    language_probs: Optional[Dict[str, float]] = None
+    tokens: List[int] = field(default_factory=list)
+    text: str = ""
+    avg_logprob: float = np.nan
+    no_speech_prob: float = np.nan
+    temperature: float = np.nan
+    compression_ratio: float = np.nan
+
+
+# --------------------------------------------------------------------------- #
+# vectorized logit filters
+# --------------------------------------------------------------------------- #
+
+
+def apply_logit_filters(
+    logits: jnp.ndarray,  # [B, V] fp32
+    t: jnp.ndarray,  # scalar int32: sampled-token count so far
+    prev1: jnp.ndarray,  # [B] token at sampled position t-1 (undefined t<1)
+    prev2: jnp.ndarray,  # [B] token at sampled position t-2 (undefined t<2)
+    last_ts: jnp.ndarray,  # [B] most recent sampled timestamp token (or -1)
+    suppress_mask: jnp.ndarray,  # [V] additive 0/-inf (SuppressTokens)
+    *,
+    eot: int,
+    ts_begin: int,
+    blank_token: int,
+    max_initial_ts_index: Optional[int],
+    suppress_blank: bool,
+    with_ts_rules: bool,
+) -> jnp.ndarray:
+    """All reference logit filters as one pure tensor function.
+
+    Order matches whisper_at/decoding.py:545-561: SuppressBlank,
+    SuppressTokens, ApplyTimestampRules.
+    """
+    v = logits.shape[-1]
+    idx = jnp.arange(v, dtype=jnp.int32)[None, :]  # [1, V]
+    at_start = t == 0
+
+    if suppress_blank:
+        blank = (idx == blank_token) | (idx == eot)
+        logits = jnp.where(at_start & blank, NEG_INF, logits)
+
+    logits = logits + suppress_mask[None, :]
+
+    if with_ts_rules:
+        # suppress <|notimestamps|> (always; whisper_at/decoding.py:447-449)
+        logits = jnp.where(idx == ts_begin - 1, NEG_INF, logits)
+
+        last_was = (t >= 1) & (prev1 >= ts_begin)
+        penult_was = (t < 2) | (prev2 >= ts_begin)
+        last_was = last_was[:, None]
+        penult_was = penult_was[:, None]
+
+        # timestamps appear in pairs, except directly before EOT
+        logits = jnp.where(last_was & penult_was & (idx >= ts_begin), NEG_INF, logits)
+        logits = jnp.where(last_was & ~penult_was & (idx < eot), NEG_INF, logits)
+
+        # timestamps must be non-decreasing; forbid earlier timestamps
+        have_ts = (last_ts >= 0)[:, None]
+        cut = jnp.where(
+            (last_was & ~penult_was)[:, 0], last_ts, last_ts + 1
+        )[:, None]
+        logits = jnp.where(
+            have_ts & (idx >= ts_begin) & (idx < cut), NEG_INF, logits
+        )
+
+        # at the very beginning: only timestamps, bounded by max_initial
+        logits = jnp.where(at_start & (idx < ts_begin), NEG_INF, logits)
+        if max_initial_ts_index is not None:
+            last_allowed = ts_begin + max_initial_ts_index
+            logits = jnp.where(at_start & (idx > last_allowed), NEG_INF, logits)
+
+        # if total timestamp probability beats any text token, force timestamp
+        logprobs = jax.nn.log_softmax(logits, axis=-1)
+        ts_logprob = jax.nn.logsumexp(
+            jnp.where(idx >= ts_begin, logprobs, NEG_INF), axis=-1
+        )
+        max_text = jnp.max(
+            jnp.where(idx < ts_begin, logprobs, NEG_INF), axis=-1
+        )
+        force_ts = (ts_logprob > max_text)[:, None]
+        logits = jnp.where(force_ts & (idx < ts_begin), NEG_INF, logits)
+
+    return logits
+
+
+# --------------------------------------------------------------------------- #
+# jitted greedy loop
+# --------------------------------------------------------------------------- #
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "prefill",
+        "total",
+        "max_steps",
+        "n_head",
+        "compute_dtype",
+        "eot",
+        "ts_begin",
+        "blank_token",
+        "no_speech_id",
+        "max_initial_ts_index",
+        "suppress_blank",
+        "with_ts_rules",
+    ),
+)
+def greedy_sample_loop(
+    dec_params: dict,
+    cross_k: jnp.ndarray,
+    cross_v: jnp.ndarray,
+    buf_init: jnp.ndarray,  # [B, total] int32, initial tokens in [pad, prefill)
+    pad: jnp.ndarray,  # scalar int32
+    sot_slot: jnp.ndarray,  # scalar int32: buffer slot of <|sot|>
+    suppress_mask: jnp.ndarray,  # [V] fp32 additive
+    temperature: jnp.ndarray,  # scalar fp32 (0 => argmax)
+    key: jnp.ndarray,  # PRNG key
+    *,
+    prefill: int,
+    total: int,
+    max_steps: int,
+    n_head: int,
+    compute_dtype,
+    eot: int,
+    ts_begin: int,
+    blank_token: int,
+    no_speech_id: Optional[int],
+    max_initial_ts_index: Optional[int],
+    suppress_blank: bool,
+    with_ts_rules: bool,
+):
+    """Greedy / temperature sampling of up to max_steps tokens, fully on device.
+
+    Returns (tokens [B, total], sum_logprobs [B], no_speech_probs [B], n_steps).
+    Sampled tokens occupy slots [prefill, prefill + n_steps).
+    """
+    n_layer, b = cross_k.shape[0], cross_k.shape[1]
+    d = cross_k.shape[3]
+    self_k, self_v = init_cache(n_layer, b, total, d, compute_dtype)
+
+    hidden, self_k, self_v = decoder_forward(
+        dec_params, buf_init[:, :prefill], cross_k, cross_v, self_k, self_v,
+        jnp.int32(0), pad, n_head, compute_dtype,
+    )
+
+    if no_speech_id is not None:
+        sot_hidden = jnp.take_along_axis(
+            hidden, sot_slot[None, None, None].astype(jnp.int32) * jnp.ones(
+                (b, 1, 1), jnp.int32
+            ), axis=1,
+        )
+        sot_logits = project_logits(dec_params, sot_hidden)[:, 0]
+        no_speech_probs = jax.nn.softmax(sot_logits, axis=-1)[:, no_speech_id]
+    else:
+        no_speech_probs = jnp.full((b,), jnp.nan, jnp.float32)
+
+    logits0 = project_logits(dec_params, hidden[:, -1:])[:, 0]
+
+    def cond(state):
+        t, _, _, _, _, _, _, finished, _ = state
+        return (t < max_steps) & ~jnp.all(finished)
+
+    def body(state):
+        t, buf, self_k, self_v, logits, sum_lp, last_ts, finished, key = state
+
+        slot = prefill + t
+        prev1 = buf[:, slot - 1] * (t >= 1)  # garbage when t<1, unused then
+        prev2 = buf[:, jnp.maximum(slot - 2, 0)]
+        filtered = apply_logit_filters(
+            logits, t, prev1, prev2, last_ts, suppress_mask,
+            eot=eot, ts_begin=ts_begin, blank_token=blank_token,
+            max_initial_ts_index=max_initial_ts_index,
+            suppress_blank=suppress_blank, with_ts_rules=with_ts_rules,
+        )
+
+        key, sub = jax.random.split(key)
+        sampled = jax.random.categorical(sub, filtered / jnp.maximum(temperature, 1e-6))
+        greedy = jnp.argmax(filtered, axis=-1)
+        next_tok = jnp.where(temperature == 0.0, greedy, sampled).astype(jnp.int32)
+
+        logprobs = jax.nn.log_softmax(filtered, axis=-1)
+        current_lp = jnp.take_along_axis(logprobs, next_tok[:, None], axis=1)[:, 0]
+        # accumulate while the *previous* token wasn't EOT (decoding.py:281)
+        prev_is_eot = finished
+        sum_lp = sum_lp + current_lp * (~prev_is_eot)
+        next_tok = jnp.where(prev_is_eot, eot, next_tok)
+
+        buf = jax.lax.dynamic_update_slice(buf, next_tok[:, None], (0, slot))
+        is_ts = (next_tok >= ts_begin) & ~prev_is_eot
+        last_ts = jnp.where(is_ts, next_tok, last_ts)
+        finished = finished | (next_tok == eot)
+
+        hidden, self_k, self_v = decoder_forward(
+            dec_params, next_tok[:, None], cross_k, cross_v, self_k, self_v,
+            slot, pad, n_head, compute_dtype,
+        )
+        logits = project_logits(dec_params, hidden)[:, 0]
+        return (t + 1, buf, self_k, self_v, logits, sum_lp, last_ts, finished, key)
+
+    init_state = (
+        jnp.int32(0),
+        buf_init,
+        self_k,
+        self_v,
+        logits0,
+        jnp.zeros((b,), jnp.float32),
+        jnp.full((b,), -1, jnp.int32),
+        jnp.zeros((b,), bool),
+        key,
+    )
+    t, buf, _, _, _, sum_lp, _, finished, _ = jax.lax.while_loop(
+        cond, body, init_state
+    )
+    return buf, sum_lp, no_speech_probs, t
+
+
+# --------------------------------------------------------------------------- #
+# host-side task orchestration
+# --------------------------------------------------------------------------- #
+
+_PREFILL_BUCKETS = (4, 8, 16, 32, 64, 128, 224, 256)
+
+
+def _prefill_bucket(n: int) -> int:
+    for b in _PREFILL_BUCKETS:
+        if n <= b:
+            return b
+    return n
+
+
+class MaximumLikelihoodRanker:
+    """Highest logprob with length norm or GNMT penalty (decoding.py:184-207)."""
+
+    def __init__(self, length_penalty: Optional[float]):
+        self.length_penalty = length_penalty
+
+    def rank(self, tokens: List[List[List[int]]], sum_logprobs: List[List[float]]):
+        def scores(logprobs, lengths):
+            result = []
+            for logprob, length in zip(logprobs, lengths):
+                if self.length_penalty is None:
+                    penalty = length
+                else:
+                    penalty = ((5 + length) / 6) ** self.length_penalty
+                result.append(logprob / penalty)
+            return result
+
+        lengths = [[len(t) for t in s] for s in tokens]
+        return [int(np.argmax(scores(p, l))) for p, l in zip(sum_logprobs, lengths)]
+
+
+class DecodingTask:
+    def __init__(self, model, options: DecodingOptions):
+        self.model = model
+
+        language = options.language or "en"
+        tokenizer = get_tokenizer(
+            model.is_multilingual, language=language, task=options.task
+        )
+        self.tokenizer: Tokenizer = tokenizer
+        self.options = self._verify_options(options)
+
+        self.n_group: int = options.beam_size or options.best_of or 1
+        self.n_ctx: int = model.dims.n_text_ctx
+        self.sample_len: int = options.sample_len or model.dims.n_text_ctx // 2
+
+        self.sot_sequence = tokenizer.sot_sequence
+        if self.options.without_timestamps:
+            self.sot_sequence = tokenizer.sot_sequence_including_notimestamps
+
+        self.initial_tokens: Tuple[int, ...] = self._get_initial_tokens()
+        self.sample_begin: int = len(self.initial_tokens)
+        self.sot_index: int = self.initial_tokens.index(tokenizer.sot)
+
+        self.sequence_ranker = MaximumLikelihoodRanker(options.length_penalty)
+
+        # static filter config
+        self.suppress_blank = bool(options.suppress_blank)
+        self.with_ts_rules = not options.without_timestamps
+        self.blank_token = tokenizer.encode(" ")[0]
+        self.max_initial_ts_index = None
+        if self.with_ts_rules and options.max_initial_timestamp:
+            precision = CHUNK_LENGTH / model.dims.n_audio_ctx  # 0.02 s
+            self.max_initial_ts_index = round(
+                options.max_initial_timestamp / precision
+            )
+
+        mask = np.zeros((model.dims.n_vocab,), np.float32)
+        if options.suppress_tokens:
+            mask[list(self._get_suppress_tokens())] = NEG_INF
+        self.suppress_mask = jnp.asarray(mask)
+
+    def _verify_options(self, options: DecodingOptions) -> DecodingOptions:
+        if options.beam_size is not None and options.best_of is not None:
+            raise ValueError("beam_size and best_of can't be given together")
+        if options.temperature == 0 and options.best_of is not None:
+            raise ValueError("best_of with greedy sampling (T=0) is not compatible")
+        if options.patience is not None and options.beam_size is None:
+            raise ValueError("patience requires beam_size to be given")
+        if options.length_penalty is not None and not (
+            0 <= options.length_penalty <= 1
+        ):
+            raise ValueError("length_penalty (alpha) should be a value between 0 and 1")
+        return options
+
+    def _get_initial_tokens(self) -> Tuple[int, ...]:
+        tokens = list(self.sot_sequence)
+
+        if prefix := self.options.prefix:
+            prefix_tokens = (
+                self.tokenizer.encode(" " + prefix.strip())
+                if isinstance(prefix, str)
+                else prefix
+            )
+            if self.sample_len is not None:
+                max_prefix_len = self.n_ctx // 2 - self.sample_len
+                prefix_tokens = prefix_tokens[-max_prefix_len:]
+            tokens = tokens + prefix_tokens
+
+        if prompt := self.options.prompt:
+            prompt_tokens = (
+                self.tokenizer.encode(" " + prompt.strip())
+                if isinstance(prompt, str)
+                else prompt
+            )
+            tokens = (
+                [self.tokenizer.sot_prev]
+                + prompt_tokens[-(self.n_ctx // 2 - 1) :]
+                + tokens
+            )
+
+        return tuple(tokens)
+
+    def _get_suppress_tokens(self) -> Tuple[int, ...]:
+        suppress_tokens = self.options.suppress_tokens
+
+        if isinstance(suppress_tokens, str):
+            suppress_tokens = [int(t) for t in suppress_tokens.split(",")]
+
+        if -1 in suppress_tokens:
+            suppress_tokens = [t for t in suppress_tokens if t >= 0]
+            suppress_tokens.extend(self.tokenizer.non_speech_tokens)
+        elif suppress_tokens is None or len(suppress_tokens) == 0:
+            suppress_tokens = []
+        else:
+            assert isinstance(suppress_tokens, list), "suppress_tokens must be a list"
+
+        suppress_tokens.extend(
+            [
+                self.tokenizer.transcribe,
+                self.tokenizer.translate,
+                self.tokenizer.sot,
+                self.tokenizer.sot_prev,
+                self.tokenizer.sot_lm,
+            ]
+        )
+        if self.tokenizer.no_speech is not None:
+            suppress_tokens.append(self.tokenizer.no_speech)
+
+        return tuple(sorted(set(suppress_tokens)))
+
+    # ------------------------------------------------------------------ #
+
+    def _detect_language(self, audio_features, buf, pad):
+        languages = [self.options.language] * audio_features.shape[0]
+        lang_probs = None
+
+        if self.options.language is None or self.options.task == "lang_id":
+            lang_tokens, lang_probs = detect_language_from_features(
+                self.model, audio_features, self.tokenizer
+            )
+            languages = [max(probs, key=probs.get) for probs in lang_probs]
+            if self.options.language is None:
+                buf = buf.at[:, pad + self.sot_index + 1].set(lang_tokens)
+
+        return languages, lang_probs, buf
+
+    def run(self, mel) -> List[DecodingResult]:
+        tokenizer = self.tokenizer
+        n_audio = mel.shape[0]
+        options = self.options
+        compute_dtype = self.model.compute_dtype(options.fp16)
+
+        audio_features, at_features = self.model.embed_audio(mel, options.fp16)
+
+        prefill = _prefill_bucket(len(self.initial_tokens))
+        total = min(prefill + self.sample_len, self.n_ctx + 1)
+        max_steps = total - prefill
+        pad = prefill - len(self.initial_tokens)
+
+        buf = np.zeros((n_audio, total), np.int32)
+        buf[:, pad:prefill] = np.asarray(self.initial_tokens, np.int32)
+        buf = jnp.asarray(buf)
+
+        languages, language_probs, buf = self._detect_language(
+            audio_features, buf, pad
+        )
+        if options.task == "lang_id":
+            return [
+                DecodingResult(
+                    audio_features=features,
+                    audio_features_for_at=at_feat,
+                    language=language,
+                    language_probs=probs,
+                )
+                for features, at_feat, language, probs in zip(
+                    audio_features, at_features, languages, language_probs
+                )
+            ]
+
+        # repeat audio & text tensors by group size (beams / best-of samples)
+        n_group = self.n_group
+        if n_group > 1:
+            audio_features_rep = jnp.repeat(audio_features, n_group, axis=0)
+            buf = jnp.repeat(buf, n_group, axis=0)
+        else:
+            audio_features_rep = audio_features
+
+        cross_k, cross_v = precompute_cross_kv(
+            self.model.params["decoder"], audio_features_rep, compute_dtype
+        )
+
+        if options.beam_size is not None:
+            raise NotImplementedError(
+                "beam search lands in the beam milestone; use greedy/best-of"
+            )
+
+        buf_out, sum_lp, no_speech_probs, n_steps = greedy_sample_loop(
+            self.model.params["decoder"],
+            cross_k,
+            cross_v,
+            buf,
+            jnp.int32(pad),
+            jnp.int32(pad + self.sot_index),
+            self.suppress_mask,
+            jnp.float32(options.temperature),
+            jax.random.PRNGKey(np.random.randint(0, 2**31 - 1)),
+            prefill=prefill,
+            total=total,
+            max_steps=max_steps,
+            n_head=self.model.dims.n_text_head,
+            compute_dtype=compute_dtype,
+            eot=tokenizer.eot,
+            ts_begin=tokenizer.timestamp_begin,
+            blank_token=self.blank_token,
+            no_speech_id=tokenizer.no_speech,
+            max_initial_ts_index=self.max_initial_ts_index,
+            suppress_blank=self.suppress_blank,
+            with_ts_rules=self.with_ts_rules,
+        )
+
+        buf_out = np.asarray(buf_out)
+        sum_lp = np.asarray(sum_lp)
+        no_speech_probs = np.asarray(no_speech_probs)[::n_group]
+        n_steps = int(n_steps)
+
+        # slice each row's sampled region up to (excluding) the first EOT
+        sampled = buf_out[:, prefill : prefill + n_steps]
+        eot_col = np.full((sampled.shape[0], 1), tokenizer.eot, np.int32)
+        sampled = np.concatenate([sampled, eot_col], axis=1)
+
+        tokens_grouped: List[List[List[int]]] = []
+        logprobs_grouped: List[List[float]] = []
+        for i in range(n_audio):
+            group_tokens, group_lp = [], []
+            for j in range(n_group):
+                row = sampled[i * n_group + j]
+                end = int(np.argmax(row == tokenizer.eot))
+                group_tokens.append(row[:end].tolist())
+                group_lp.append(float(sum_lp[i * n_group + j]))
+            tokens_grouped.append(group_tokens)
+            logprobs_grouped.append(group_lp)
+
+        selected = self.sequence_ranker.rank(tokens_grouped, logprobs_grouped)
+        tokens: List[List[int]] = [
+            g[i] for i, g in zip(selected, tokens_grouped)
+        ]
+        texts = [tokenizer.decode(t).strip() for t in tokens]
+        sum_logprobs = [lp[i] for i, lp in zip(selected, logprobs_grouped)]
+        avg_logprobs = [lp / (len(t) + 1) for t, lp in zip(tokens, sum_logprobs)]
+
+        return [
+            DecodingResult(
+                audio_features=audio_features[i],
+                audio_features_for_at=at_features[i],
+                language=languages[i],
+                tokens=tokens[i],
+                text=texts[i],
+                avg_logprob=avg_logprobs[i],
+                no_speech_prob=float(no_speech_probs[i]),
+                temperature=options.temperature,
+                compression_ratio=compression_ratio(texts[i]),
+            )
+            for i in range(n_audio)
+        ]
+
+
+# --------------------------------------------------------------------------- #
+# language detection
+# --------------------------------------------------------------------------- #
+
+
+@lru_cache(maxsize=None)
+def _language_token_mask(n_vocab: int, language_tokens: Tuple[int, ...]):
+    mask = np.full((n_vocab,), NEG_INF, np.float32)
+    mask[list(language_tokens)] = 0.0
+    return jnp.asarray(mask)
+
+
+def detect_language_from_features(model, audio_features, tokenizer):
+    """One SOT step over encoded features -> (lang_tokens [B], probs dicts)."""
+    n_audio = audio_features.shape[0]
+    sot = jnp.full((n_audio, 1), tokenizer.sot, jnp.int32)
+    logits = model.logits(sot, audio_features)[:, 0]  # [B, V] fp32
+    mask = _language_token_mask(model.dims.n_vocab, tokenizer.all_language_tokens)
+    masked = logits + mask
+    lang_tokens = jnp.argmax(masked, axis=-1)
+    probs = np.asarray(jax.nn.softmax(masked, axis=-1))
+    language_probs = [
+        {
+            c: float(probs[i, j])
+            for j, c in zip(tokenizer.all_language_tokens, tokenizer.all_language_codes)
+        }
+        for i in range(n_audio)
+    ]
+    return lang_tokens, language_probs
+
+
+def detect_language(model, mel, tokenizer: Tokenizer = None):
+    """Detect the spoken language (whisper_at/decoding.py:18-75).
+
+    mel: [80, 3000], [B, 80, 3000], or already-encoded features
+    [B, 1500, D]. Returns (language_tokens, language_probs).
+    """
+    if tokenizer is None:
+        tokenizer = get_tokenizer(model.is_multilingual)
+    if (
+        tokenizer.language is None
+        or tokenizer.language_token not in tokenizer.sot_sequence
+    ):
+        raise ValueError(
+            "This model doesn't have language tokens so it can't perform lang id"
+        )
+
+    single = mel.ndim == 2
+    if single:
+        mel = mel[None]
+
+    if mel.shape[-2:] != (model.dims.n_audio_ctx, model.dims.n_audio_state):
+        mel, _ = model.embed_audio(mel)
+
+    lang_tokens, language_probs = detect_language_from_features(
+        model, mel, tokenizer
+    )
+    if single:
+        return lang_tokens[0], language_probs[0]
+    return lang_tokens, language_probs
+
+
+def decode(
+    model,
+    mel,
+    options: DecodingOptions = DecodingOptions(),
+    **kwargs,
+) -> Union[DecodingResult, List[DecodingResult]]:
+    """Decode 30-second mel segment(s): [80, 3000] or [B, 80, 3000]."""
+    if single := mel.ndim == 2:
+        mel = mel[None]
+
+    if kwargs:
+        options = replace(options, **kwargs)
+
+    result = DecodingTask(model, options).run(mel)
+    return result[0] if single else result

@@ -1,0 +1,172 @@
+"""Text decoder with a preallocated, functionally-threaded KV cache.
+
+Replaces the reference's hook-mutated cache dict (whisper_at/model.py:283-314)
+with explicit cache arrays [L, B, n_ctx, D] updated via dynamic_update_slice
+inside a `lax.scan` over layers — XLA aliases the carried buffers so updates
+are in place, and a single compiled layer body serves any depth.
+
+Variable-length prompts are right-aligned into a fixed prefill bucket: slots
+[0, pad) are masked out of attention and the position embedding is indexed by
+(slot - pad), so one compiled program covers every prompt length in a bucket.
+"""
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .layers import (
+    attention,
+    init_block,
+    init_layer_norm,
+    layer_norm,
+    linear,
+    mlp,
+    stack_blocks,
+)
+
+NEG_INF = float("-inf")
+
+
+def init_decoder(key, dims, dtype=jnp.float32) -> dict:
+    ke, kp, kb = jax.random.split(key, 3)
+    blocks = [
+        init_block(k, dims.n_text_state, cross_attention=True, dtype=dtype)
+        for k in jax.random.split(kb, dims.n_text_layer)
+    ]
+    return {
+        "token_embedding": jax.random.normal(
+            ke, (dims.n_vocab, dims.n_text_state), dtype
+        )
+        * 0.02,
+        "positional_embedding": jax.random.normal(
+            kp, (dims.n_text_ctx, dims.n_text_state), dtype
+        )
+        * 0.01,
+        "blocks": stack_blocks(blocks),
+        "ln": init_layer_norm(dims.n_text_state, dtype),
+    }
+
+
+def init_cache(
+    n_layer: int, batch: int, n_ctx: int, n_state: int, dtype
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    shape = (n_layer, batch, n_ctx, n_state)
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+@partial(jax.jit, static_argnames=("compute_dtype",))
+def precompute_cross_kv(
+    params: dict, xa: jnp.ndarray, compute_dtype=jnp.float32
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Cross-attention keys/values for all layers, computed once per decode.
+
+    xa: [B, Ta, D] encoded audio. Returns (ck, cv), each [L, B, Ta, D].
+    (The reference caches these through hooks on first use because their
+    length exceeds n_text_ctx; here they are simply precomputed.)
+    """
+    xa = xa.astype(compute_dtype)
+
+    def body(_, block_params):
+        ca = block_params["cross_attn"]
+        return None, (linear(ca["key"], xa), linear(ca["value"], xa))
+
+    _, (ck, cv) = jax.lax.scan(body, None, params["blocks"])
+    return ck, cv
+
+
+def decoder_forward(
+    params: dict,
+    tokens: jnp.ndarray,  # [B, S] int32
+    cross_k: jnp.ndarray,  # [L, B, Ta, D]
+    cross_v: jnp.ndarray,
+    self_k: jnp.ndarray,  # [L, B, n_ctx, D] cache (functionally updated)
+    self_v: jnp.ndarray,
+    write_pos: jnp.ndarray,  # scalar int32: cache slot of tokens[:, 0]
+    pad: jnp.ndarray,  # scalar int32: slots < pad are masked out
+    n_head: int,
+    compute_dtype=jnp.float32,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One decoder pass over S tokens (prefill: S = bucket; step: S = 1).
+
+    Returns (hidden [B, S, D] after final LN, updated self_k, updated self_v).
+    Project to vocabulary logits with `project_logits` on the positions you
+    need — avoids materializing [B, S, V] during prefill.
+    """
+    n_ctx = self_k.shape[2]
+    s = tokens.shape[1]
+
+    pos = write_pos + jnp.arange(s, dtype=jnp.int32) - pad
+    pos = jnp.maximum(pos, 0)
+    x = (
+        jnp.take(params["token_embedding"], tokens, axis=0)
+        + jnp.take(params["positional_embedding"], pos, axis=0)
+    ).astype(compute_dtype)
+
+    # additive mask [S, n_ctx]: key slot j visible to query i iff
+    # pad <= j <= write_pos + i (causal over slots, prompt-pad excluded)
+    slots = jnp.arange(n_ctx, dtype=jnp.int32)[None, :]
+    qpos = write_pos + jnp.arange(s, dtype=jnp.int32)[:, None]
+    # `slots == qpos` keeps pad-garbage query rows from being fully masked:
+    # a fully-masked softmax yields NaN which would poison the KV cache
+    # (0 * NaN = NaN) even though those rows are never read as outputs.
+    allowed = ((slots >= pad) & (slots <= qpos)) | (slots == qpos)
+    mask = jnp.where(allowed, 0.0, NEG_INF).astype(jnp.float32)
+
+    def body(carry, xs):
+        h, sk_all, sv_all = carry
+        layer_idx, block_params, ck, cv = xs
+
+        # self-attention with cache update
+        normed = layer_norm(block_params["attn_ln"], h)
+        q = linear(block_params["attn"]["query"], normed)
+        k_new = linear(block_params["attn"]["key"], normed)
+        v_new = linear(block_params["attn"]["value"], normed)
+        sk_all = jax.lax.dynamic_update_slice(
+            sk_all, k_new[None].astype(sk_all.dtype), (layer_idx, 0, write_pos, 0)
+        )
+        sv_all = jax.lax.dynamic_update_slice(
+            sv_all, v_new[None].astype(sv_all.dtype), (layer_idx, 0, write_pos, 0)
+        )
+        k_full = jax.lax.dynamic_index_in_dim(sk_all, layer_idx, 0, keepdims=False)
+        v_full = jax.lax.dynamic_index_in_dim(sv_all, layer_idx, 0, keepdims=False)
+        attn_out, _ = attention(
+            q, k_full.astype(compute_dtype), v_full.astype(compute_dtype),
+            n_head, mask=mask,
+        )
+        h = h + linear(block_params["attn"]["out"], attn_out)
+
+        # cross-attention over precomputed audio keys/values
+        normed = layer_norm(block_params["cross_attn_ln"], h)
+        q = linear(block_params["cross_attn"]["query"], normed)
+        attn_out, _ = attention(
+            q, ck.astype(compute_dtype), cv.astype(compute_dtype), n_head
+        )
+        h = h + linear(block_params["cross_attn"]["out"], attn_out)
+
+        h = h + mlp(block_params["mlp"], layer_norm(block_params["mlp_ln"], h))
+        return (h, sk_all, sv_all), None
+
+    n_layer = cross_k.shape[0]
+    layer_ids = jnp.arange(n_layer, dtype=jnp.int32)
+    (x, self_k, self_v), _ = jax.lax.scan(
+        body, (x, self_k, self_v), (layer_ids, params["blocks"], cross_k, cross_v)
+    )
+
+    x = layer_norm(params["ln"], x)
+    return x, self_k, self_v
+
+
+def project_logits(params: dict, hidden: jnp.ndarray) -> jnp.ndarray:
+    """Tied-embedding output projection, in fp32 (whisper_at/model.py:218-220)."""
+    from .layers import matmul_precision
+
+    emb = params["token_embedding"].astype(hidden.dtype)
+    return jnp.einsum(
+        "bsd,vd->bsv",
+        hidden,
+        emb,
+        preferred_element_type=jnp.float32,
+        precision=matmul_precision(hidden.dtype),
+    )

@@ -1,0 +1,113 @@
+"""Audio encoder: conv stem + scanned transformer blocks + all-layer pooled taps.
+
+The Whisper-AT modification (whisper_at/model.py:156-177): after every block,
+average-pool the hidden states 20x along time and stack them — the TL-TR head
+consumes this [n_layer, T/20, D] stack. Here the per-layer taps fall out of
+`lax.scan`'s per-iteration outputs for free, batched as [B, L, T/20, D].
+
+Layout is feature-last ([B, T, D]) throughout — the TPU-friendly layout for
+both the conv stem (NWC) and the attention matmuls.
+"""
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .layers import (
+    attention,
+    gelu,
+    init_block,
+    init_layer_norm,
+    layer_norm,
+    linear,
+    mha_project_qkv,
+    mlp,
+    sinusoids,
+    stack_blocks,
+)
+
+POOL = 20  # Whisper-AT 20x time pooling of encoder taps
+
+
+def init_encoder(key, dims, dtype=jnp.float32) -> dict:
+    k1, k2, kb = jax.random.split(key, 3)
+    std1 = (dims.n_mels * 3) ** -0.5
+    std2 = (dims.n_audio_state * 3) ** -0.5
+    blocks = [
+        init_block(k, dims.n_audio_state, cross_attention=False, dtype=dtype)
+        for k in jax.random.split(kb, dims.n_audio_layer)
+    ]
+    return {
+        # conv weights in WIO layout: [kernel, in, out]
+        "conv1": {
+            "w": jax.random.uniform(
+                k1, (3, dims.n_mels, dims.n_audio_state), dtype, -std1, std1
+            ),
+            "b": jnp.zeros((dims.n_audio_state,), dtype),
+        },
+        "conv2": {
+            "w": jax.random.uniform(
+                k2, (3, dims.n_audio_state, dims.n_audio_state), dtype, -std2, std2
+            ),
+            "b": jnp.zeros((dims.n_audio_state,), dtype),
+        },
+        "positional_embedding": jnp.asarray(
+            sinusoids(dims.n_audio_ctx, dims.n_audio_state), dtype
+        ),
+        "blocks": stack_blocks(blocks),
+        "ln_post": init_layer_norm(dims.n_audio_state, dtype),
+    }
+
+
+def _conv1d(params: dict, x: jnp.ndarray, stride: int) -> jnp.ndarray:
+    """1-D conv in NWC layout with torch-style symmetric padding of 1."""
+    from .layers import matmul_precision
+
+    w = params["w"].astype(x.dtype)
+    y = jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride,),
+        padding=[(1, 1)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        precision=matmul_precision(x.dtype),
+    )
+    return y + params["b"].astype(x.dtype)
+
+
+@partial(jax.jit, static_argnames=("n_head", "compute_dtype"))
+def encoder_apply(
+    params: dict,
+    mel: jnp.ndarray,
+    n_head: int,
+    compute_dtype=jnp.float32,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Run the encoder.
+
+    mel: [B, n_mels, 3000] (reference layout). Returns:
+      x     : [B, 1500, D]  final hidden states (after ln_post)
+      all_x : [B, L, 75, D] per-layer 20x-pooled taps (before ln_post)
+    """
+    x = mel.astype(compute_dtype).transpose(0, 2, 1)  # [B, T, n_mels]
+    x = gelu(_conv1d(params["conv1"], x, stride=1))
+    x = gelu(_conv1d(params["conv2"], x, stride=2))  # [B, 1500, D]
+    x = x + params["positional_embedding"].astype(compute_dtype)
+
+    b, t, d = x.shape
+
+    def body(carry, block_params):
+        h = carry
+        q, k, v = mha_project_qkv(
+            block_params["attn"], layer_norm(block_params["attn_ln"], h)
+        )
+        attn_out, _ = attention(q, k, v, n_head)
+        h = h + linear(block_params["attn"]["out"], attn_out)
+        h = h + mlp(block_params["mlp"], layer_norm(block_params["mlp_ln"], h))
+        pooled = h.reshape(b, t // POOL, POOL, d).mean(axis=2)
+        return h, pooled
+
+    x, all_x = jax.lax.scan(body, x, params["blocks"])
+    x = layer_norm(params["ln_post"], x)
+    return x, all_x.transpose(1, 0, 2, 3)  # [B, L, T/20, D]

@@ -1,0 +1,168 @@
+"""The Whisper-AT model container: params pytree + dims + convenience API.
+
+The reference's `Whisper(nn.Module)` (whisper_at/model.py:224-318) becomes a
+thin host-side object owning the parameter pytree and the static config; all
+compute goes through the pure jitted functions in encoder/decoder/at_head.
+"""
+
+import base64
+import gzip
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .at_head import at_head_apply, at_window_geometry, init_at_head
+from .decoder import (
+    decoder_forward,
+    init_cache,
+    init_decoder,
+    precompute_cross_kv,
+    project_logits,
+)
+from .dims import ModelDimensions, dims_for
+from .encoder import encoder_apply, init_encoder
+
+
+def default_alignment_heads(dims: ModelDimensions) -> np.ndarray:
+    """Use the last half of decoder layers by default (whisper_at/model.py:248-253)."""
+    heads = np.zeros((dims.n_text_layer, dims.n_text_head), dtype=bool)
+    heads[dims.n_text_layer // 2 :] = True
+    return heads
+
+
+def decode_alignment_heads(dump: bytes, dims: ModelDimensions) -> np.ndarray:
+    """Decode the base85+gzip boolean alignment-head mask (whisper_at/model.py:255-262)."""
+    array = np.frombuffer(gzip.decompress(base64.b85decode(dump)), dtype=bool).copy()
+    return array.reshape(dims.n_text_layer, dims.n_text_head)
+
+
+class Whisper:
+    """Frozen Whisper backbone + TL-TR audio-tagging head, TPU-native."""
+
+    def __init__(
+        self,
+        dims: ModelDimensions,
+        at_low_compute: bool = False,
+        params: Optional[dict] = None,
+        storage_dtype=jnp.float32,
+        seed: int = 0,
+    ):
+        self.dims = dims
+        self.at_low_compute = at_low_compute
+        self.at_mode = "tl_down_tr_512_1_8" if at_low_compute else "tl_tr_1_8"
+        self.storage_dtype = storage_dtype
+        self.alignment_heads = default_alignment_heads(dims)
+
+        if params is None:
+            ke, kd, ka = jax.random.split(jax.random.PRNGKey(seed), 3)
+            params = {
+                "encoder": init_encoder(ke, dims, storage_dtype),
+                "decoder": init_decoder(kd, dims, storage_dtype),
+                "at_model": init_at_head(
+                    ka, dims.n_audio_layer, dims.n_audio_state, self.at_mode,
+                    dtype=storage_dtype,
+                ),
+            }
+        self.params = params
+
+    # ------------------------------------------------------------------ #
+    @property
+    def is_multilingual(self) -> bool:
+        return self.dims.n_vocab == 51865
+
+    @property
+    def device(self):
+        return jax.tree.leaves(self.params)[0].devices()
+
+    def set_alignment_heads(self, dump: bytes):
+        self.alignment_heads = decode_alignment_heads(dump, self.dims)
+
+    def compute_dtype(self, fp16: bool = True):
+        """'half precision' means bfloat16 on TPU."""
+        return jnp.bfloat16 if fp16 else jnp.float32
+
+    # ------------------------------------------------------------------ #
+    def embed_audio(
+        self, mel: jnp.ndarray, fp16: bool = True
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Encoder forward. mel [B, 80, 3000] (or unbatched [80, 3000]).
+
+        Returns (audio_features [B, 1500, D], at_features [B, L, 75, D]) —
+        the all-layer 20x-pooled stack that feeds the TL-TR head
+        (whisper_at/model.py:156-177).
+        """
+        if mel.ndim == 2:
+            mel = mel[None]
+        return encoder_apply(
+            self.params["encoder"],
+            mel,
+            self.dims.n_audio_head,
+            self.compute_dtype(fp16),
+        )
+
+    def at_forward(
+        self, audio_rep: jnp.ndarray, time_resolution: float = 10
+    ) -> jnp.ndarray:
+        """TL-TR head over a pooled-feature stack.
+
+        audio_rep: [L, T, D] (reference layout) or batched [B, L, T, D].
+        Returns [n_seg, 527] (resp. [B, n_seg, 527]) segment logits.
+        """
+        single = audio_rep.ndim == 3
+        if single:
+            audio_rep = audio_rep[None]
+        window, n_seg = at_window_geometry(audio_rep.shape[2], time_resolution)
+        out = at_head_apply(
+            self.params["at_model"], audio_rep, self.at_mode, window, n_seg
+        )
+        return out[0] if single else out
+
+    def logits(
+        self, tokens: jnp.ndarray, audio_features: jnp.ndarray, fp16: bool = True
+    ) -> jnp.ndarray:
+        """Full (non-incremental) decoder forward -> fp32 logits [B, S, V]."""
+        compute_dtype = self.compute_dtype(fp16)
+        b, s = tokens.shape
+        cross_k, cross_v = precompute_cross_kv(
+            self.params["decoder"], audio_features, compute_dtype
+        )
+        self_k, self_v = init_cache(
+            self.dims.n_text_layer, b, s, self.dims.n_text_state, compute_dtype
+        )
+        hidden, _, _ = decoder_forward(
+            self.params["decoder"],
+            tokens,
+            cross_k,
+            cross_v,
+            self_k,
+            self_v,
+            jnp.int32(0),
+            jnp.int32(0),
+            self.dims.n_text_head,
+            compute_dtype,
+        )
+        return project_logits(self.params["decoder"], hidden)
+
+    def forward(self, mel: jnp.ndarray, tokens: jnp.ndarray) -> jnp.ndarray:
+        audio_features, _ = self.embed_audio(mel)
+        return self.logits(tokens, audio_features)
+
+    # bound in __init__.py to avoid circular imports:
+    #   detect_language / decode / transcribe
+
+
+def build_model(
+    name: str,
+    at_low_compute: bool = False,
+    storage_dtype=jnp.float32,
+    seed: int = 0,
+) -> Whisper:
+    """Random-initialized model of an official size (for tests/benchmarks)."""
+    return Whisper(
+        dims_for(name),
+        at_low_compute=at_low_compute,
+        storage_dtype=storage_dtype,
+        seed=seed,
+    )
