@@ -1,0 +1,88 @@
+"""Headline benchmark: large-v1 batched transcribe+tag throughput on one chip.
+
+Measures audio-seconds processed per wall-second (real-time factor) for the
+full inference pipeline — log-mel frontend, encoder with all-layer taps,
+TL-TR tagging head, and the KV-cached greedy decode loop — on BATCH 30 s
+windows at once (the batched long-audio path). Decode runs a fixed token
+budget per window (TOKENS_PER_WINDOW) so throughput is comparable across
+random and real weights; real speech averages ~75-150 tokens per window.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is value / 50 (the BASELINE.json target of >=50x real-time per
+v5e chip at large-v1).
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--size", default="large-v1")
+    parser.add_argument("--batch", type=int, default=8, help="30 s windows per batch")
+    parser.add_argument("--tokens", type=int, default=96, help="decode steps per window")
+    parser.add_argument("--iters", type=int, default=2)
+    parser.add_argument("--fp32", action="store_true")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    import whisper_at_tpu as wat
+    from whisper_at_tpu.decoding import DecodingOptions, DecodingTask
+    from whisper_at_tpu.ops.mel import log_mel_spectrogram_jax
+
+    dtype = jnp.float32 if args.fp32 else jnp.bfloat16
+    model = wat.build_model(args.size, storage_dtype=dtype, seed=0)
+
+    audio_seconds = args.batch * 30
+    rng = np.random.default_rng(0)
+    t = np.arange(16000 * audio_seconds) / 16000.0
+    audio = (0.3 * np.sin(2 * np.pi * 220.0 * t)
+             + 0.05 * rng.standard_normal(len(t))).astype(np.float32)
+
+    options = DecodingOptions(
+        language="en",
+        temperature=0.0,
+        sample_len=args.tokens,
+        fp16=not args.fp32,
+        without_timestamps=False,
+    )
+    task = DecodingTask(model, options)
+
+    def pipeline():
+        mel = log_mel_spectrogram_jax(audio)  # [80, frames]
+        n_frames = (mel.shape[1] // 3000) * 3000
+        windows = mel[:, :n_frames].T.reshape(args.batch, 3000, 80).transpose(0, 2, 1)
+        results = task.run(windows)
+        # tagging over the full batch of pooled stacks in one call
+        at_feats = jnp.stack([r.audio_features_for_at for r in results])
+        tags = model.at_forward(at_feats, time_resolution=10)
+        np.asarray(tags)  # force completion
+        return results, tags
+
+    # warmup (compiles the mel kernel, encoder, prefill, and decode loop)
+    pipeline()
+
+    times = []
+    for _ in range(args.iters):
+        start = time.perf_counter()
+        pipeline()
+        times.append(time.perf_counter() - start)
+
+    best = min(times)
+    rtf = audio_seconds / best
+    print(json.dumps({
+        "metric": f"{args.size} batched transcribe+tag throughput "
+                  f"({args.tokens} tok/30s-window, batch {args.batch}, 1 chip)",
+        "value": round(rtf, 2),
+        "unit": "audio-sec/sec",
+        "vs_baseline": round(rtf / 50.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,166 @@
+"""Decoding engine tests: jitted loop vs numpy oracle, options handling."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import oracle_decode
+import whisper_at_tpu  # noqa: F401  (binds model methods)
+from whisper_at_tpu.decoding import DecodingOptions, DecodingTask, decode
+from whisper_at_tpu.models.dims import ModelDimensions
+from whisper_at_tpu.models.whisper import Whisper
+from whisper_at_tpu.tokenizer import get_tokenizer
+
+DIMS = ModelDimensions(
+    n_mels=80, n_audio_ctx=1500, n_audio_state=64, n_audio_head=4,
+    n_audio_layer=2, n_vocab=51865, n_text_ctx=448, n_text_head=4,
+    n_text_state=64, n_text_layer=2,
+)
+
+
+@pytest.fixture(scope="module")
+def model():
+    return Whisper(DIMS, seed=3)
+
+
+@pytest.fixture(scope="module")
+def mel():
+    rng = np.random.default_rng(7)
+    return jnp.asarray(rng.standard_normal((2, 80, 3000)).astype(np.float32) * 0.4)
+
+
+def test_greedy_matches_numpy_oracle(model, mel):
+    """The jitted while-loop decode must reproduce the reference semantics
+    (filters, EOT latching, logprob accumulation) token-for-token at T=0."""
+    options = DecodingOptions(
+        language="en", temperature=0.0, fp16=False, sample_len=24
+    )
+    task = DecodingTask(model, options)
+    results = task.run(mel)
+
+    audio_features, _ = model.embed_audio(mel, fp16=False)
+    golden_tokens, golden_lp, golden_nsp = oracle_decode.greedy_decode_oracle(
+        model,
+        audio_features,
+        task.initial_tokens,
+        task.tokenizer,
+        task._get_suppress_tokens(),
+        sample_len=24,
+        max_initial_ts_index=task.max_initial_ts_index,
+    )
+
+    for r, gt, glp, gnsp in zip(results, golden_tokens, golden_lp, golden_nsp):
+        assert r.tokens == gt
+        np.testing.assert_allclose(r.no_speech_prob, gnsp, atol=1e-3)
+        # sum logprob propagated through avg_logprob = sum / (len + 1)
+        np.testing.assert_allclose(
+            r.avg_logprob, glp / (len(gt) + 1), rtol=1e-3, atol=1e-3
+        )
+
+
+def test_greedy_without_timestamps(model, mel):
+    options = DecodingOptions(
+        language="en", temperature=0.0, fp16=False, sample_len=16,
+        without_timestamps=True,
+    )
+    task = DecodingTask(model, options)
+    results = task.run(mel)
+
+    audio_features, _ = model.embed_audio(mel, fp16=False)
+    golden_tokens, _, _ = oracle_decode.greedy_decode_oracle(
+        model, audio_features, task.initial_tokens, task.tokenizer,
+        task._get_suppress_tokens(), sample_len=16, with_ts_rules=False,
+    )
+    for r, gt in zip(results, golden_tokens):
+        assert r.tokens == gt
+        # timestamps were disallowed
+        assert all(t < task.tokenizer.timestamp_begin for t in r.tokens)
+
+
+def test_prompt_changes_context_not_shapes(model, mel):
+    """Prompts bucket into fixed prefill sizes; decode still works."""
+    r1 = decode(
+        model, mel[0],
+        DecodingOptions(language="en", fp16=False, sample_len=8,
+                        prompt="previous transcript text here"),
+    )
+    r2 = decode(
+        model, mel[0],
+        DecodingOptions(language="en", fp16=False, sample_len=8,
+                        prompt=list(range(300, 340))),
+    )
+    assert isinstance(r1.tokens, list) and isinstance(r2.tokens, list)
+
+
+def test_prefix_decoding(model, mel):
+    tok = get_tokenizer(True, language="en", task="transcribe")
+    prefix_ids = tok.encode(" hello")
+    result = decode(
+        model, mel[0],
+        DecodingOptions(language="en", fp16=False, sample_len=8, prefix=" hello"),
+    )
+    assert isinstance(result.tokens, list)
+    task = DecodingTask(
+        model, DecodingOptions(language="en", fp16=False, prefix=" hello")
+    )
+    assert list(task.initial_tokens[-len(prefix_ids):]) == prefix_ids
+
+
+def test_sampling_with_temperature_runs(model, mel):
+    result = decode(
+        model, mel[0],
+        DecodingOptions(language="en", temperature=0.8, fp16=False, sample_len=12),
+    )
+    assert result.temperature == 0.8
+    assert isinstance(result.text, str)
+
+
+def test_best_of_sampling(model, mel):
+    result = decode(
+        model, mel[0],
+        DecodingOptions(language="en", temperature=1.0, best_of=3, fp16=False,
+                        sample_len=8),
+    )
+    assert isinstance(result.tokens, list)
+
+
+def test_detect_language(model, mel):
+    tokens, probs = model.detect_language(mel)
+    assert tokens.shape == (2,)
+    assert len(probs) == 2
+    assert abs(sum(probs[0].values()) - 1.0) < 1e-3
+    # single-segment variant
+    tok1, probs1 = model.detect_language(mel[0])
+    assert probs1.keys() == probs[0].keys()
+
+
+def test_lang_id_task(model, mel):
+    results = decode(model, mel, DecodingOptions(task="lang_id", fp16=False))
+    assert all(r.language_probs is not None for r in results)
+
+
+def test_option_validation(model):
+    with pytest.raises(ValueError):
+        DecodingTask(model, DecodingOptions(beam_size=2, best_of=2))
+    with pytest.raises(ValueError):
+        DecodingTask(model, DecodingOptions(temperature=0, best_of=3))
+    with pytest.raises(ValueError):
+        DecodingTask(model, DecodingOptions(patience=2.0))
+    with pytest.raises(ValueError):
+        DecodingTask(model, DecodingOptions(length_penalty=3.0))
+
+
+def test_suppress_tokens_custom(model, mel):
+    # suppressing everything except timestamps+eot forces degenerate output
+    result = decode(
+        model, mel[0],
+        DecodingOptions(language="en", fp16=False, sample_len=6,
+                        suppress_tokens=[], without_timestamps=True),
+    )
+    assert isinstance(result.tokens, list)
+
+
+def test_results_carry_at_features(model, mel):
+    results = decode(model, mel, DecodingOptions(language="en", fp16=False, sample_len=4))
+    for r in results:
+        assert r.audio_features_for_at.shape == (DIMS.n_audio_layer, 75, 64)

@@ -1,0 +1,154 @@
+"""Transcribe orchestrator tests: seek loop, AT stitching, writers, CLI paths."""
+
+import numpy as np
+import pytest
+
+import whisper_at_tpu as wat
+from whisper_at_tpu.models.dims import ModelDimensions
+from whisper_at_tpu.models.whisper import Whisper
+
+DIMS = ModelDimensions(
+    n_mels=80, n_audio_ctx=1500, n_audio_state=64, n_audio_head=4,
+    n_audio_layer=2, n_vocab=51865, n_text_ctx=448, n_text_head=4,
+    n_text_state=64, n_text_layer=2,
+)
+
+
+@pytest.fixture(scope="module")
+def model():
+    return Whisper(DIMS, seed=5)
+
+
+@pytest.fixture(scope="module")
+def audio_45s():
+    rng = np.random.default_rng(1)
+    t = np.arange(16000 * 45) / 16000.0
+    x = 0.3 * np.sin(2 * np.pi * 330 * t) + 0.02 * rng.standard_normal(len(t))
+    return x.astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def result(model, audio_45s):
+    return model.transcribe(
+        audio_45s,
+        verbose=None,
+        temperature=0.0,
+        language="en",
+        fp16=False,
+        logprob_threshold=None,
+        compression_ratio_threshold=None,
+        no_speech_threshold=None,
+    )
+
+
+def test_result_structure(result):
+    assert set(result.keys()) == {
+        "text", "segments", "language", "at_time_res", "audio_tag"
+    }
+    assert result["language"] == "en"
+    assert result["at_time_res"] == 10
+    assert isinstance(result["text"], str)
+    for seg in result["segments"]:
+        for key in ("id", "seek", "start", "end", "text", "tokens", "temperature",
+                    "avg_logprob", "compression_ratio", "no_speech_prob"):
+            assert key in seg
+        assert seg["end"] >= seg["start"]
+
+
+def test_audio_tag_shape_45s(result):
+    # 45 s -> ceil(4500 / 1000) = 5 decision windows of 10 s
+    assert result["audio_tag"].shape == (5, 527)
+    # every window was written (model produces nonzero logits)
+    assert np.abs(result["audio_tag"]).sum(axis=1).min() > 0
+
+
+def test_at_time_res_must_be_multiple_of_04(model, audio_45s):
+    with pytest.raises(AssertionError):
+        model.transcribe(audio_45s[:16000], at_time_res=0.5, language="en", fp16=False)
+
+
+def test_at_time_res_2s(model, audio_45s):
+    with pytest.warns(UserWarning):
+        result = model.transcribe(
+            audio_45s[: 16000 * 12],
+            at_time_res=2,
+            language="en",
+            fp16=False,
+            verbose=None,
+            logprob_threshold=None,
+            compression_ratio_threshold=None,
+            no_speech_threshold=None,
+        )
+    # 12 s -> ceil(1200 / 200) = 6 windows of 2 s
+    assert result["audio_tag"].shape == (6, 527)
+
+
+def test_parse_at_label(result):
+    parsed = wat.parse_at_label(result, top_k=5, p_threshold=-np.inf)
+    assert len(parsed) == result["audio_tag"].shape[0]
+    assert parsed[0]["time"] == {"start": 0, "end": 10}
+    assert parsed[1]["time"] == {"start": 10, "end": 20}
+    assert len(parsed[0]["audio tags"]) == 5
+    name, logit = parsed[0]["audio tags"][0]
+    assert isinstance(name, str) and isinstance(logit, float)
+    # top entries sorted descending
+    logits = [v for _, v in parsed[0]["audio tags"]]
+    assert logits == sorted(logits, reverse=True)
+
+
+def test_parse_at_label_language_fallback(result):
+    with pytest.warns(UserWarning):
+        parsed = wat.parse_at_label(result, language="xx")
+    assert len(parsed) > 0
+
+
+def test_parse_at_label_class_filter(result):
+    parsed = wat.parse_at_label(
+        result, top_k=527, p_threshold=-np.inf, include_class_list=[0, 1, 2]
+    )
+    assert all(len(p["audio tags"]) <= 3 for p in parsed)
+
+
+def test_initial_prompt(model, audio_45s):
+    result = model.transcribe(
+        audio_45s[: 16000 * 5],
+        initial_prompt="Glossary: JAX, XLA",
+        language="en",
+        fp16=False,
+        verbose=None,
+        temperature=0.0,
+        logprob_threshold=None,
+        compression_ratio_threshold=None,
+        no_speech_threshold=None,
+    )
+    assert isinstance(result["text"], str)
+
+
+def test_writers_roundtrip(result, tmp_path):
+    import json
+
+    writer = wat.utils.get_writer("all", str(tmp_path))
+    writer(result, "sample.wav", {
+        "max_line_width": None, "max_line_count": None, "highlight_words": False
+    })
+    for ext in ("txt", "vtt", "srt", "tsv", "json"):
+        path = tmp_path / f"sample.{ext}"
+        assert path.exists(), ext
+        assert path.stat().st_size > 0
+    data = json.loads((tmp_path / "sample.json").read_text())
+    assert data["language"] == "en"
+    assert len(data["audio_tag"]) == result["audio_tag"].shape[0]
+
+
+def test_language_detection_path(model, audio_45s):
+    result = model.transcribe(
+        audio_45s[: 16000 * 3],
+        language=None,
+        fp16=False,
+        verbose=None,
+        temperature=0.0,
+        logprob_threshold=None,
+        compression_ratio_threshold=None,
+        no_speech_threshold=None,
+    )
+    assert result["language"] in wat.tokenizer.LANGUAGES
