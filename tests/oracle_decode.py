@@ -84,22 +84,29 @@ def greedy_decode_oracle(
     b = audio_features.shape[0]
     eot = tokenizer.eot
     blank_token = tokenizer.encode(" ")[0]
-    tokens = np.tile(np.asarray(initial_tokens, np.int64), (b, 1))
     sample_begin = len(initial_tokens)
     sot_index = list(initial_tokens).index(tokenizer.sot)
     sum_logprobs = np.zeros(b)
     no_speech_probs = None
     n_ctx = model.dims.n_text_ctx
 
+    # fixed-width buffer: causal logits at filled positions are unaffected by
+    # the zero padding behind them, so one compiled shape serves every step
+    buf_len = sample_begin + sample_len
+    buf = np.zeros((b, buf_len), np.int64)
+    buf[:, :sample_begin] = np.asarray(initial_tokens, np.int64)
+    tokens = buf[:, :sample_begin]
+
     for i in range(sample_len):
+        cur = sample_begin + i
         logits_all = np.asarray(
-            model.logits(jnp.asarray(tokens, jnp.int32), audio_features, fp16=False)
+            model.logits(jnp.asarray(buf, jnp.int32), audio_features, fp16=False)
         ).astype(np.float64)
         if i == 0 and tokenizer.no_speech is not None:
             probs_at_sot = np.exp(log_softmax(logits_all[:, sot_index]))
             no_speech_probs = probs_at_sot[:, tokenizer.no_speech]
 
-        logits = logits_all[:, -1].copy()
+        logits = logits_all[:, cur - 1].copy()
         sampled = [row[sample_begin:].tolist() for row in tokens]
         logits = apply_filters_np(
             logits, sampled, tokenizer, suppress_tokens,
@@ -109,10 +116,12 @@ def greedy_decode_oracle(
         next_tokens = logits.argmax(axis=-1)
         logprobs = log_softmax(logits)
         current = logprobs[np.arange(b), next_tokens]
-        not_finished = tokens[:, -1] != eot
+        prev = buf[:, cur - 1]
+        not_finished = prev != eot if i > 0 else np.ones(b, bool)
         sum_logprobs += current * not_finished
-        next_tokens[tokens[:, -1] == eot] = eot
-        tokens = np.concatenate([tokens, next_tokens[:, None]], axis=1)
+        next_tokens[~not_finished] = eot
+        buf[:, cur] = next_tokens
+        tokens = buf[:, : cur + 1]
         if (tokens[:, -1] == eot).all() or tokens.shape[1] > n_ctx:
             break
 
@@ -126,3 +135,89 @@ def greedy_decode_oracle(
         end = int(np.argmax(rest == eot))
         out.append(rest[:end].tolist())
     return out, sum_logprobs, no_speech_probs
+
+
+def beam_decode_oracle(
+    model,
+    audio_features,  # [1, Ta, D] — single audio
+    initial_tokens,
+    tokenizer,
+    suppress_tokens,
+    sample_len: int,
+    beam_size: int,
+    patience: float = 1.0,
+    max_initial_ts_index: Optional[int] = 50,
+    with_ts_rules: bool = True,
+):
+    """Reference beam-search semantics (whisper_at/decoding.py:295-398) in
+    numpy with dict bookkeeping, for a single audio. Returns the ranked
+    candidate list [(tokens, sum_logprob)]."""
+    eot = tokenizer.eot
+    blank_token = tokenizer.encode(" ")[0]
+    max_candidates = round(beam_size * patience)
+    sample_begin = len(initial_tokens)
+    tokens = np.tile(np.asarray(initial_tokens, np.int64), (beam_size, 1))
+    sum_logprobs = np.zeros(beam_size)
+    finished_sequences = {}
+    feats = jnp.repeat(audio_features, beam_size, axis=0)
+    buf_len = sample_begin + sample_len
+
+    for i in range(sample_len):
+        cur = tokens.shape[1]
+        buf = np.zeros((beam_size, buf_len), np.int64)
+        buf[:, :cur] = tokens
+        logits_all = np.asarray(
+            model.logits(jnp.asarray(buf, jnp.int32), feats, fp16=False)
+        ).astype(np.float64)
+        logits = logits_all[:, cur - 1].copy()
+        sampled = [row[sample_begin:].tolist() for row in tokens]
+        logits = apply_filters_np(
+            logits, sampled, tokenizer, suppress_tokens,
+            max_initial_ts_index if len(sampled[0]) == 0 else max_initial_ts_index,
+            True, with_ts_rules, blank_token,
+        )
+        logprobs = log_softmax(logits)
+
+        scores, sources = {}, {}
+        finished_step = {}
+        for j in range(beam_size):
+            for k_idx in np.argsort(logprobs[j])[::-1][: beam_size + 1]:
+                new_lp = sum_logprobs[j] + logprobs[j, k_idx]
+                seq = tuple(tokens[j].tolist() + [int(k_idx)])
+                scores[seq] = new_lp
+                sources[seq] = j
+
+        next_beams, new_lps = [], []
+        for seq in sorted(scores, key=scores.get, reverse=True):
+            if seq[-1] == eot:
+                finished_step[seq] = scores[seq]
+            else:
+                new_lps.append(scores[seq])
+                next_beams.append(seq)
+                if len(next_beams) == beam_size:
+                    break
+
+        tokens = np.asarray(next_beams, np.int64)
+        sum_logprobs = np.asarray(new_lps)
+        for seq in sorted(finished_step, key=finished_step.get, reverse=True):
+            if len(finished_sequences) >= max_candidates:
+                break
+            finished_sequences[seq] = finished_step[seq]
+
+        if len(finished_sequences) >= max_candidates:
+            break
+
+    # finalize
+    if len(finished_sequences) < beam_size:
+        for j in np.argsort(sum_logprobs)[::-1]:
+            seq = tuple(tokens[j].tolist() + [eot])
+            finished_sequences[seq] = sum_logprobs[j]
+            if len(finished_sequences) >= beam_size:
+                break
+
+    out = []
+    for seq, lp in finished_sequences.items():
+        rest = list(seq[sample_begin:])
+        end = rest.index(eot) if eot in rest else len(rest)
+        out.append((rest[:end], float(lp)))
+    return out

@@ -164,3 +164,45 @@ def test_results_carry_at_features(model, mel):
     results = decode(model, mel, DecodingOptions(language="en", fp16=False, sample_len=4))
     for r in results:
         assert r.audio_features_for_at.shape == (DIMS.n_audio_layer, 75, 64)
+
+
+def test_beam_search_matches_oracle(model, mel):
+    """The tensorized beam search must reproduce the reference's dict-based
+    bookkeeping: same finished sequences and scores."""
+    options = DecodingOptions(
+        language="en", beam_size=3, fp16=False, sample_len=20
+    )
+    task = DecodingTask(model, options)
+    result = task.run(mel[0:1])[0]
+
+    audio_features, _ = model.embed_audio(mel[0:1], fp16=False)
+    golden = oracle_decode.beam_decode_oracle(
+        model, audio_features, task.initial_tokens, task.tokenizer,
+        task._get_suppress_tokens(), sample_len=20, beam_size=3,
+        max_initial_ts_index=task.max_initial_ts_index,
+    )
+    golden_map = {tuple(t): lp for t, lp in golden}
+
+    # the selected result must be the argmax of length-normalized score
+    best = max(golden, key=lambda x: x[1] / (len(x[0]) + 1))
+    assert result.tokens == best[0]
+    np.testing.assert_allclose(
+        result.avg_logprob, best[1] / (len(best[0]) + 1), rtol=1e-3, atol=1e-3
+    )
+
+
+def test_beam_search_with_patience(model, mel):
+    options = DecodingOptions(
+        language="en", beam_size=2, patience=2.0, fp16=False, sample_len=16
+    )
+    result = decode(model, mel[0], options)
+    assert isinstance(result.tokens, list)
+
+
+def test_beam_search_batched(model, mel):
+    options = DecodingOptions(language="en", beam_size=2, fp16=False, sample_len=12)
+    results = decode(model, mel, options)
+    assert len(results) == 2
+    for r in results:
+        assert isinstance(r.tokens, list)
+        assert np.isfinite(r.avg_logprob)

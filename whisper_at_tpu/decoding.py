@@ -290,6 +290,204 @@ def greedy_sample_loop(
 
 
 # --------------------------------------------------------------------------- #
+# jitted beam search
+# --------------------------------------------------------------------------- #
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "prefill",
+        "total",
+        "max_steps",
+        "beam_size",
+        "max_candidates",
+        "n_head",
+        "compute_dtype",
+        "eot",
+        "ts_begin",
+        "blank_token",
+        "no_speech_id",
+        "max_initial_ts_index",
+        "suppress_blank",
+        "with_ts_rules",
+    ),
+)
+def beam_sample_loop(
+    dec_params: dict,
+    cross_k: jnp.ndarray,  # [L, A*K, Ta, D]
+    cross_v: jnp.ndarray,
+    buf_init: jnp.ndarray,  # [A*K, total]
+    pad: jnp.ndarray,
+    sot_slot: jnp.ndarray,
+    suppress_mask: jnp.ndarray,
+    *,
+    prefill: int,
+    total: int,
+    max_steps: int,
+    beam_size: int,
+    max_candidates: int,
+    n_head: int,
+    compute_dtype,
+    eot: int,
+    ts_begin: int,
+    blank_token: int,
+    no_speech_id: Optional[int],
+    max_initial_ts_index: Optional[int],
+    suppress_blank: bool,
+    with_ts_rules: bool,
+):
+    """Beam search with patience, entirely on device.
+
+    Tensorization of the reference's dict-based beam bookkeeping
+    (whisper_at/decoding.py:295-398): per step, each beam proposes its top
+    (K+1) continuations; candidates are globally sorted per audio; EOT
+    candidates fill a fixed finished buffer (capacity max_candidates =
+    round(K * patience)); the top K non-EOT candidates become the new beams,
+    with the KV cache gathered along the batch axis. At step 0 only beam 0
+    proposes (all beams share the same prefix — the reference's sequence-dict
+    dedup collapses them identically).
+
+    Returns (finished_tokens [A, C, total], finished_scores [A, C],
+    finished_count [A], final_beams [A*K, total], final_sum_lp [A*K],
+    no_speech_probs [A*K], n_steps).
+    """
+    k_beam = beam_size
+    n_cand = k_beam * (k_beam + 1)
+    n_layer, bk = cross_k.shape[0], cross_k.shape[1]
+    a_audio = bk // k_beam
+    d = cross_k.shape[3]
+    c_cap = max_candidates
+
+    self_k, self_v = init_cache(n_layer, bk, total, d, compute_dtype)
+    hidden, self_k, self_v = decoder_forward(
+        dec_params, buf_init[:, :prefill], cross_k, cross_v, self_k, self_v,
+        jnp.int32(0), pad, n_head, compute_dtype,
+    )
+    if no_speech_id is not None:
+        sot_hidden = jnp.take_along_axis(
+            hidden,
+            sot_slot[None, None, None].astype(jnp.int32)
+            * jnp.ones((bk, 1, 1), jnp.int32),
+            axis=1,
+        )
+        sot_logits = project_logits(dec_params, sot_hidden)[:, 0]
+        no_speech_probs = jax.nn.softmax(sot_logits, axis=-1)[:, no_speech_id]
+    else:
+        no_speech_probs = jnp.full((bk,), jnp.nan, jnp.float32)
+
+    logits0 = project_logits(dec_params, hidden[:, -1:])[:, 0]
+
+    fin_tokens = jnp.zeros((a_audio, c_cap, total), jnp.int32)
+    fin_scores = jnp.full((a_audio, c_cap), -jnp.inf, jnp.float32)
+    fin_count = jnp.zeros((a_audio,), jnp.int32)
+
+    def cond(state):
+        t = state[0]
+        fin_count = state[9]
+        return (t < max_steps) & ~jnp.all(fin_count >= c_cap)
+
+    def body(state):
+        (t, buf, self_k, self_v, logits, sum_lp, last_ts,
+         fin_tokens, fin_scores, fin_count) = state
+
+        slot = prefill + t
+        prev1 = buf[:, slot - 1] * (t >= 1)
+        prev2 = buf[:, jnp.maximum(slot - 2, 0)]
+        filtered = apply_logit_filters(
+            logits, t, prev1, prev2, last_ts, suppress_mask,
+            eot=eot, ts_begin=ts_begin, blank_token=blank_token,
+            max_initial_ts_index=max_initial_ts_index,
+            suppress_blank=suppress_blank, with_ts_rules=with_ts_rules,
+        )
+        logprobs = jax.nn.log_softmax(filtered, axis=-1)  # [A*K, V]
+
+        top_lp, top_tok = jax.lax.top_k(logprobs, k_beam + 1)  # [A*K, K+1]
+        cand = (sum_lp[:, None] + top_lp).reshape(a_audio, n_cand)
+        cand_tok = top_tok.reshape(a_audio, n_cand)
+        # step 0: all beams share a prefix; only beam 0's candidates count
+        beam0_only = jnp.where(
+            jnp.arange(n_cand) < (k_beam + 1), 0.0, NEG_INF
+        )[None, :]
+        cand = jnp.where(t == 0, cand + beam0_only, cand)
+
+        order = jnp.argsort(-cand, axis=1)  # [A, N] score-descending
+        s_scores = jnp.take_along_axis(cand, order, axis=1)
+        s_toks = jnp.take_along_axis(cand_tok, order, axis=1)
+        s_src = order // (k_beam + 1)  # source beam per candidate
+        valid = jnp.isfinite(s_scores)
+        is_eot = (s_toks == eot) & valid
+
+        # --- new beams: first K non-EOT candidates in score order ---
+        keep = valid & ~is_eot
+        pos = jnp.broadcast_to(jnp.arange(n_cand)[None, :], keep.shape)
+        sel = jnp.argsort(jnp.where(keep, pos, pos + n_cand), axis=1)[:, :k_beam]
+        new_tok = jnp.take_along_axis(s_toks, sel, axis=1)  # [A, K]
+        new_src = jnp.take_along_axis(s_src, sel, axis=1)
+        new_score = jnp.take_along_axis(s_scores, sel, axis=1)
+
+        audio_base = (jnp.arange(a_audio, dtype=jnp.int32) * k_beam)[:, None]
+        flat_src = (audio_base + new_src).reshape(-1)  # [A*K]
+
+        # --- finished buffer: EOT candidates appended until the cap ---
+        frank = jnp.cumsum(is_eot, axis=1)
+        fpos = fin_count[:, None] + frank - 1
+        fpos = jnp.where(is_eot & (fpos < c_cap), fpos, c_cap)  # C -> dropped
+        # sequence rows: source beam's buffer with EOT written at `slot`
+        src_rows = jnp.take_along_axis(
+            buf.reshape(a_audio, k_beam, total),
+            s_src[:, :, None].astype(jnp.int32), axis=1,
+        )  # [A, N, total]
+        eot_col = jnp.full((a_audio, n_cand, 1), eot, jnp.int32)
+        src_rows = jax.lax.dynamic_update_slice(
+            src_rows, eot_col, (0, 0, slot)
+        )
+        a_idx = jnp.broadcast_to(
+            jnp.arange(a_audio)[:, None], (a_audio, n_cand)
+        )
+        fin_tokens = fin_tokens.at[a_idx, fpos].set(src_rows, mode="drop")
+        fin_scores = fin_scores.at[a_idx, fpos].set(s_scores, mode="drop")
+        fin_count = jnp.minimum(fin_count + jnp.sum(is_eot, axis=1), c_cap)
+
+        # --- reorder state along the beam axis ---
+        buf = jnp.take(buf, flat_src, axis=0)
+        buf = jax.lax.dynamic_update_slice(
+            buf, new_tok.reshape(-1, 1), (0, slot)
+        )
+        sum_lp = new_score.reshape(-1)
+        last_ts = jnp.take(last_ts, flat_src, axis=0)
+        ntok_flat = new_tok.reshape(-1)
+        last_ts = jnp.where(ntok_flat >= ts_begin, ntok_flat, last_ts)
+        self_k = jnp.take(self_k, flat_src, axis=1)
+        self_v = jnp.take(self_v, flat_src, axis=1)
+
+        hidden, self_k, self_v = decoder_forward(
+            dec_params, ntok_flat[:, None], cross_k, cross_v, self_k, self_v,
+            slot, pad, n_head, compute_dtype,
+        )
+        logits = project_logits(dec_params, hidden)[:, 0]
+        return (t + 1, buf, self_k, self_v, logits, sum_lp, last_ts,
+                fin_tokens, fin_scores, fin_count)
+
+    init_state = (
+        jnp.int32(0),
+        buf_init,
+        self_k,
+        self_v,
+        logits0,
+        jnp.zeros((bk,), jnp.float32),
+        jnp.full((bk,), -1, jnp.int32),
+        fin_tokens,
+        fin_scores,
+        fin_count,
+    )
+    (t, buf, _, _, _, sum_lp, _, fin_tokens, fin_scores, fin_count) = (
+        jax.lax.while_loop(cond, body, init_state)
+    )
+    return fin_tokens, fin_scores, fin_count, buf, sum_lp, no_speech_probs, t
+
+
+# --------------------------------------------------------------------------- #
 # host-side task orchestration
 # --------------------------------------------------------------------------- #
 
@@ -496,8 +694,10 @@ class DecodingTask:
         )
 
         if options.beam_size is not None:
-            raise NotImplementedError(
-                "beam search lands in the beam milestone; use greedy/best-of"
+            return self._run_beam(
+                mel, buf, pad, prefill, total, max_steps,
+                cross_k, cross_v, compute_dtype,
+                audio_features, at_features, languages,
             )
 
         buf_out, sum_lp, no_speech_probs, n_steps = greedy_sample_loop(
@@ -550,6 +750,99 @@ class DecodingTask:
         tokens: List[List[int]] = [
             g[i] for i, g in zip(selected, tokens_grouped)
         ]
+        texts = [tokenizer.decode(t).strip() for t in tokens]
+        sum_logprobs = [lp[i] for i, lp in zip(selected, logprobs_grouped)]
+        avg_logprobs = [lp / (len(t) + 1) for t, lp in zip(tokens, sum_logprobs)]
+
+        return [
+            DecodingResult(
+                audio_features=audio_features[i],
+                audio_features_for_at=at_features[i],
+                language=languages[i],
+                tokens=tokens[i],
+                text=texts[i],
+                avg_logprob=avg_logprobs[i],
+                no_speech_prob=float(no_speech_probs[i]),
+                temperature=options.temperature,
+                compression_ratio=compression_ratio(texts[i]),
+            )
+            for i in range(n_audio)
+        ]
+
+    def _run_beam(
+        self, mel, buf, pad, prefill, total, max_steps,
+        cross_k, cross_v, compute_dtype,
+        audio_features, at_features, languages,
+    ) -> List[DecodingResult]:
+        options = self.options
+        tokenizer = self.tokenizer
+        n_audio = mel.shape[0]
+        beam_size = options.beam_size
+        patience = options.patience or 1.0
+        max_candidates = round(beam_size * patience)
+        assert max_candidates > 0, (
+            f"Invalid beam size ({beam_size}) or patience ({patience})"
+        )
+
+        fin_tokens, fin_scores, fin_count, beams, beam_lp, nsp, n_steps = (
+            beam_sample_loop(
+                self.model.params["decoder"],
+                cross_k,
+                cross_v,
+                buf,
+                jnp.int32(pad),
+                jnp.int32(pad + self.sot_index),
+                self.suppress_mask,
+                prefill=prefill,
+                total=total,
+                max_steps=max_steps,
+                beam_size=beam_size,
+                max_candidates=max_candidates,
+                n_head=self.model.dims.n_text_head,
+                compute_dtype=compute_dtype,
+                eot=tokenizer.eot,
+                ts_begin=tokenizer.timestamp_begin,
+                blank_token=self.blank_token,
+                no_speech_id=tokenizer.no_speech,
+                max_initial_ts_index=self.max_initial_ts_index,
+                suppress_blank=self.suppress_blank,
+                with_ts_rules=self.with_ts_rules,
+            )
+        )
+        fin_tokens = np.asarray(fin_tokens)
+        fin_scores = np.asarray(fin_scores)
+        fin_count = np.asarray(fin_count)
+        beams = np.asarray(beams)
+        beam_lp = np.asarray(beam_lp)
+        no_speech_probs = np.asarray(nsp)[::beam_size]
+        n_steps = int(n_steps)
+        eot = tokenizer.eot
+
+        def slice_row(row) -> List[int]:
+            # sampled window + sentinel EOT (covers unfinished beams)
+            rest = np.append(row[prefill : prefill + n_steps], eot)
+            end = int(np.argmax(rest == eot))
+            return rest[:end].tolist()
+
+        # finalize (decoding.py:378-398): if fewer than beam_size sequences
+        # finished, fill from the final beams in sum-logprob order
+        tokens_grouped: List[List[List[int]]] = []
+        logprobs_grouped: List[List[float]] = []
+        for i in range(n_audio):
+            seqs = [slice_row(fin_tokens[i, c]) for c in range(int(fin_count[i]))]
+            scores = [float(fin_scores[i, c]) for c in range(int(fin_count[i]))]
+            if len(seqs) < beam_size:
+                group_lp = beam_lp[i * beam_size : (i + 1) * beam_size]
+                for j in np.argsort(group_lp)[::-1]:
+                    seqs.append(slice_row(beams[i * beam_size + int(j)]))
+                    scores.append(float(group_lp[int(j)]))
+                    if len(seqs) >= beam_size:
+                        break
+            tokens_grouped.append(seqs)
+            logprobs_grouped.append(scores)
+
+        selected = self.sequence_ranker.rank(tokens_grouped, logprobs_grouped)
+        tokens = [g[i] for i, g in zip(selected, tokens_grouped)]
         texts = [tokenizer.decode(t).strip() for t in tokens]
         sum_logprobs = [lp[i] for i, lp in zip(selected, logprobs_grouped)]
         avg_logprobs = [lp / (len(t) + 1) for t, lp in zip(tokens, sum_logprobs)]

@@ -158,6 +158,70 @@ def decoder_forward(
     return x, self_k, self_v
 
 
+@partial(jax.jit, static_argnames=("n_head", "n_sel", "compute_dtype"))
+def decoder_forward_with_qk(
+    params: dict,
+    tokens: jnp.ndarray,  # [1, S]
+    xa: jnp.ndarray,  # [1, F, D] encoded audio
+    sel_slot: jnp.ndarray,  # [L, H] int32: slot in [0, n_sel) or n_sel (drop)
+    n_head: int,
+    n_sel: int,
+    compute_dtype=jnp.float32,
+):
+    """Full decoder forward that also captures cross-attention logits for the
+    alignment heads (functional replacement for the reference's forward hooks,
+    whisper_at/timing.py:185-191).
+
+    Returns (logits [1, S, V] fp32, qk_sel [n_sel, S, F] fp32) where qk_sel
+    rows are the pre-softmax cross-attention logits of the selected
+    (layer, head) pairs, already scaled by d_head**-0.5.
+    """
+    s = tokens.shape[1]
+    pos = jnp.arange(s, dtype=jnp.int32)
+    x = (
+        jnp.take(params["token_embedding"], tokens, axis=0)
+        + params["positional_embedding"][:s]
+    ).astype(compute_dtype)
+
+    causal = jnp.where(
+        jnp.arange(s)[None, :] <= jnp.arange(s)[:, None], 0.0, NEG_INF
+    ).astype(jnp.float32)
+
+    xa = xa.astype(compute_dtype)
+    f = xa.shape[1]
+    qk_buf = jnp.zeros((n_sel + 1, s, f), jnp.float32)  # last row = drop slot
+
+    def body(carry, xs):
+        h, qk_buf = carry
+        block_params, slot_row = xs
+
+        normed = layer_norm(block_params["attn_ln"], h)
+        q = linear(block_params["attn"]["query"], normed)
+        k = linear(block_params["attn"]["key"], normed)
+        v = linear(block_params["attn"]["value"], normed)
+        attn_out, _ = attention(q, k, v, n_head, mask=causal)
+        h = h + linear(block_params["attn"]["out"], attn_out)
+
+        normed = layer_norm(block_params["cross_attn_ln"], h)
+        q = linear(block_params["cross_attn"]["query"], normed)
+        ck = linear(block_params["cross_attn"]["key"], xa)
+        cv = linear(block_params["cross_attn"]["value"], xa)
+        attn_out, qk = attention(q, ck, cv, n_head, return_qk=True)
+        h = h + linear(block_params["cross_attn"]["out"], attn_out)
+        # qk [1, H, S, F] fp32; scatter this layer's selected heads
+        qk_buf = qk_buf.at[slot_row].set(qk[0])
+
+        h = h + mlp(block_params["mlp"], layer_norm(block_params["mlp_ln"], h))
+        return (h, qk_buf), None
+
+    (x, qk_buf), _ = jax.lax.scan(
+        body, (x, qk_buf), (params["blocks"], sel_slot)
+    )
+    x = layer_norm(params["ln"], x)
+    logits = project_logits(params, x)
+    return logits, qk_buf[:n_sel]
+
+
 def project_logits(params: dict, hidden: jnp.ndarray) -> jnp.ndarray:
     """Tied-embedding output projection, in fp32 (whisper_at/model.py:218-220)."""
     from .layers import matmul_precision
