@@ -1,0 +1,148 @@
+"""Word-timing tests: DTW vs brute force, median filter vs torch, alignment."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+import whisper_at_tpu  # noqa: F401
+from whisper_at_tpu.models.dims import ModelDimensions
+from whisper_at_tpu.models.whisper import Whisper
+from whisper_at_tpu.ops.dtw import backtrace, dtw, dtw_cost_trace
+from whisper_at_tpu.ops.median import median_filter
+from whisper_at_tpu.timing import WordTiming, add_word_timestamps, merge_punctuations
+from whisper_at_tpu.tokenizer import get_tokenizer
+
+
+def dtw_reference_loop(x: np.ndarray):
+    """Direct O(N*M) transliteration of the documented DP recurrence
+    (whisper_at/timing.py:82-105) as an independent oracle."""
+    n, m = x.shape
+    cost = np.full((n + 1, m + 1), np.inf)
+    trace = -np.ones((n + 1, m + 1), np.int32)
+    cost[0, 0] = 0
+    for j in range(1, m + 1):
+        for i in range(1, n + 1):
+            c0 = cost[i - 1, j - 1]
+            c1 = cost[i - 1, j]
+            c2 = cost[i, j - 1]
+            if c0 < c1 and c0 < c2:
+                c, t = c0, 0
+            elif c1 < c0 and c1 < c2:
+                c, t = c1, 1
+            else:
+                c, t = c2, 2
+            cost[i, j] = x[i - 1, j - 1] + c
+            trace[i, j] = t
+    return cost, trace
+
+
+@pytest.mark.parametrize("shape", [(5, 8), (12, 30), (30, 12), (1, 10)])
+def test_dtw_matches_reference_loop(shape):
+    rng = np.random.default_rng(shape[0] * 100 + shape[1])
+    x = rng.standard_normal(shape)
+    cost, trace = dtw_cost_trace(x)
+    gcost, gtrace = dtw_reference_loop(x)
+    np.testing.assert_allclose(cost, gcost)
+    np.testing.assert_array_equal(trace[1:, 1:], gtrace[1:, 1:])
+    np.testing.assert_array_equal(dtw(x), backtrace(gtrace))
+
+
+def test_dtw_path_properties():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((20, 50))
+    ti, fi = dtw(x)
+    # path is monotonic and covers both ends
+    assert ti[0] == 0 and fi[0] == 0
+    assert ti[-1] == 19 and fi[-1] == 49
+    assert (np.diff(ti) >= 0).all() and (np.diff(fi) >= 0).all()
+    assert ((np.diff(ti) + np.diff(fi)) >= 1).all()
+
+
+@pytest.mark.parametrize("width", [3, 5, 7, 9])
+def test_median_filter_matches_torch(width):
+    rng = np.random.default_rng(width)
+    x = rng.standard_normal((2, 4, 40)).astype(np.float32)
+    ours = np.asarray(median_filter(jnp.asarray(x), width))
+    tx = torch.from_numpy(x)
+    padded = torch.nn.functional.pad(
+        tx, (width // 2, width // 2, 0, 0), mode="reflect"
+    )
+    golden = padded.unfold(-1, width, 1).sort()[0][..., width // 2]
+    np.testing.assert_allclose(ours, golden.numpy(), atol=1e-7)
+
+
+def test_median_filter_short_input_passthrough():
+    x = jnp.ones((2, 3))
+    out = median_filter(x, 7)
+    assert out.shape == (2, 3)
+
+
+def test_merge_punctuations():
+    alignment = [
+        WordTiming(" ¿", [1], 0.0, 0.1, 1.0),
+        WordTiming("Hola", [2], 0.1, 0.4, 1.0),
+        WordTiming("!", [3], 0.4, 0.5, 1.0),
+        WordTiming(" amigo", [4], 0.5, 0.9, 1.0),
+    ]
+    merge_punctuations(alignment, "\"'“¿([{-", "\"'.。,，!！?？:：”)]}、")
+    words = [w.word for w in alignment if w.word]
+    assert words == [" ¿Hola!", " amigo"]
+    tokens = [w.tokens for w in alignment if w.word]
+    assert tokens == [[1, 2, 3], [4]]
+
+
+def test_add_word_timestamps_end_to_end():
+    dims = ModelDimensions(
+        n_mels=80, n_audio_ctx=1500, n_audio_state=64, n_audio_head=4,
+        n_audio_layer=2, n_vocab=51865, n_text_ctx=448, n_text_head=4,
+        n_text_state=64, n_text_layer=2,
+    )
+    model = Whisper(dims, seed=9)
+    tokenizer = get_tokenizer(True, language="en", task="transcribe")
+    rng = np.random.default_rng(3)
+    mel = jnp.asarray(rng.standard_normal((80, 3000)).astype(np.float32) * 0.3)
+
+    text_tokens = tokenizer.encode(" hello world how are you")
+    segments = [
+        {"seek": 0, "start": 0.0, "end": 5.0, "tokens": text_tokens, "text": ""}
+    ]
+    add_word_timestamps(
+        segments=segments,
+        model=model,
+        tokenizer=tokenizer,
+        mel=mel,
+        num_frames=3000,
+    )
+    words = segments[0]["words"]
+    assert len(words) == 5
+    assert "".join(w["word"] for w in words) == " hello world how are you"
+    for w in words:
+        assert w["end"] >= w["start"] >= 0
+        assert 0 <= w["probability"] <= 1
+    # word times are non-decreasing
+    starts = [w["start"] for w in words]
+    assert starts == sorted(starts)
+
+
+def test_transcribe_with_word_timestamps():
+    dims = ModelDimensions(
+        n_mels=80, n_audio_ctx=1500, n_audio_state=64, n_audio_head=4,
+        n_audio_layer=2, n_vocab=51865, n_text_ctx=448, n_text_head=4,
+        n_text_state=64, n_text_layer=2,
+    )
+    model = Whisper(dims, seed=9)
+    rng = np.random.default_rng(4)
+    audio = (0.2 * rng.standard_normal(16000 * 8)).astype(np.float32)
+    result = model.transcribe(
+        audio,
+        word_timestamps=True,
+        language="en",
+        fp16=False,
+        verbose=None,
+        temperature=0.0,
+        logprob_threshold=None,
+        compression_ratio_threshold=None,
+        no_speech_threshold=None,
+    )
+    assert all("words" in seg for seg in result["segments"])

@@ -1,0 +1,13 @@
+from .basic import BasicTextNormalizer
+from .english import (
+    EnglishNumberNormalizer,
+    EnglishSpellingNormalizer,
+    EnglishTextNormalizer,
+)
+
+__all__ = [
+    "BasicTextNormalizer",
+    "EnglishNumberNormalizer",
+    "EnglishSpellingNormalizer",
+    "EnglishTextNormalizer",
+]
