@@ -1,0 +1,291 @@
+"""Train/validate loops for the TL-TR head, with schedulers, meters, and
+checkpoint weight averaging.
+
+Host-side control mirroring the reference (whisper_at_train/traintest.py,
+run.py:213-245): per-step timing meters, NaN divergence abort, the AudioSet-
+full 10%-of-epoch early break, per-epoch validation with mAP/AUC/d-prime,
+result.csv + per-epoch stats pickles + progress.pkl, MultiStepLR /
+ReduceLROnPlateau schedules (as dynamic lr scales — no recompilation), and
+post-training epoch-checkpoint weight averaging.
+
+The device work is one jitted train step (train/steps.py); batches stream
+from the thread-prefetched loader so disk IO overlaps the TPU step.
+"""
+
+import os
+import pickle
+import time
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..checkpoint import load_params, save_params
+from .stats import calculate_stats, d_prime, mean_auc, mean_average_precision
+from .steps import make_eval_step, make_optimizer, make_train_step
+from .tltr import count_parameters
+
+
+class AverageMeter:
+    """Running value/average meter (utilities/util.py:238-253)."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.val = 0.0
+        self.avg = 0.0
+        self.sum = 0.0
+        self.count = 0
+
+    def update(self, val, n=1):
+        self.val = val
+        self.sum += val * n
+        self.count += n
+        self.avg = self.sum / self.count if self.count else 0.0
+
+
+class MultiStepLR:
+    """gamma decay at milestones start, start+step, ... (traintest.py:59)."""
+
+    def __init__(self, start: int, step: int, gamma: float):
+        self.milestones = set(range(start, 1000, step))
+        self.gamma = gamma
+        self.scale = 1.0
+        self.epoch = 0
+
+    def step(self, metric: Optional[float] = None):
+        self.epoch += 1
+        if self.epoch in self.milestones:
+            self.scale *= self.gamma
+
+
+class ReduceLROnPlateau:
+    """Halve the lr when the metric stops improving (mode='max')."""
+
+    def __init__(self, factor: float = 0.5, patience: int = 2):
+        self.factor = factor
+        self.patience = patience
+        self.best = -np.inf
+        self.bad_epochs = 0
+        self.scale = 1.0
+
+    def step(self, metric: float):
+        if metric > self.best:
+            self.best = metric
+            self.bad_epochs = 0
+        else:
+            self.bad_epochs += 1
+            if self.bad_epochs > self.patience:
+                self.scale *= self.factor
+                self.bad_epochs = 0
+
+
+def validate(eval_step, params, val_loader, loss_fn=None):
+    """Batched inference + metric computation (traintest.py:204-267)."""
+    predictions, targets, losses = [], [], []
+    for feats, labels in val_loader:
+        logits = np.asarray(eval_step(params, jnp.asarray(feats)))
+        predictions.append(logits)
+        targets.append(labels)
+        if loss_fn is not None:
+            losses.append(float(loss_fn(jnp.asarray(logits), jnp.asarray(labels))))
+
+    output = np.concatenate(predictions)
+    target = np.concatenate(targets)
+    stats = calculate_stats(output, target)
+    loss = float(np.mean(losses)) if losses else np.nan
+    return stats, loss
+
+
+def train(
+    params: dict,
+    mode: str,
+    train_loader,
+    val_loader,
+    *,
+    exp_dir: str,
+    lr: float = 1e-4,
+    n_epochs: int = 30,
+    loss_type: str = "BCE",
+    pos_weight: Optional[float] = None,
+    metrics_name: str = "mAP",
+    lr_adapt: bool = False,
+    lr_patience: int = 2,
+    lrscheduler_start: int = 15,
+    lrscheduler_step: int = 5,
+    lrscheduler_decay: float = 0.75,
+    dataset: str = "as-full",
+    save_model: bool = True,
+    n_print_steps: int = 100,
+    compute_dtype=jnp.bfloat16,
+    n_class_sonyc: Optional[int] = None,
+) -> dict:
+    """Train the TL-TR head; returns the final params.
+
+    Epoch semantics mirror the reference: for 'as-full', each epoch breaks at
+    10% of the loader (traintest.py:136-139), so 30 epochs == 3 full passes.
+    """
+    os.makedirs(os.path.join(exp_dir, "models"), exist_ok=True)
+
+    optimizer = make_optimizer(lr)
+    opt_state = optimizer.init(params)
+    train_step = make_train_step(
+        mode, optimizer, loss_type, pos_weight, compute_dtype
+    )
+    eval_step = make_eval_step(mode, compute_dtype)
+
+    from .steps import bce_with_logits_loss, ce_loss
+
+    def loss_fn(logits, labels):
+        if loss_type == "BCE":
+            return bce_with_logits_loss(logits, labels, pos_weight)
+        return ce_loss(logits, labels)
+
+    if lr_adapt:
+        scheduler = ReduceLROnPlateau(factor=0.5, patience=lr_patience)
+        print("Override to use adaptive learning rate scheduler.")
+    else:
+        scheduler = MultiStepLR(lrscheduler_start, lrscheduler_step, lrscheduler_decay)
+        print(
+            "The learning rate scheduler starts at {:d} epoch with decay rate "
+            "of {:.3f} every {:d} epochs".format(
+                lrscheduler_start, lrscheduler_decay, lrscheduler_step
+            )
+        )
+
+    print(
+        "Total trainable parameter number is : {:.3f} million".format(
+            count_parameters(params) / 1e6
+        )
+    )
+
+    loss_meter = AverageMeter()
+    per_sample_time = AverageMeter()
+    per_sample_data_time = AverageMeter()
+    per_sample_dnn_time = AverageMeter()
+    progress: List[list] = []
+    best_mAP, best_acc, best_epoch = -np.inf, -np.inf, 0
+    global_step = 0
+    start_time = time.time()
+    result = np.zeros([n_epochs, 4])
+
+    for epoch in range(1, n_epochs + 1):
+        begin_time = time.time()
+        end_time = time.time()
+        n_batches = len(train_loader)
+
+        for i, (feats, labels) in enumerate(train_loader):
+            data_t = time.time() - end_time
+            dnn_start = time.time()
+            params, opt_state, loss = train_step(
+                params, opt_state, jnp.asarray(feats), jnp.asarray(labels),
+                jnp.float32(scheduler.scale),
+            )
+            loss = float(loss)
+            b = feats.shape[0]
+
+            loss_meter.update(loss, b)
+            per_sample_data_time.update(data_t / b)
+            per_sample_dnn_time.update((time.time() - dnn_start) / b)
+            per_sample_time.update((time.time() - end_time) / b)
+
+            if global_step % n_print_steps == 0 and global_step != 0:
+                print(
+                    "Epoch: [{0}][{1}/{2}]\t"
+                    "Per Sample Total Time {3:.5f}\t"
+                    "Per Sample Data Time {4:.5f}\t"
+                    "Per Sample DNN Time {5:.5f}\t"
+                    "Train Loss {6:.4f}".format(
+                        epoch, i, n_batches, per_sample_time.avg,
+                        per_sample_data_time.avg, per_sample_dnn_time.avg,
+                        loss_meter.val,
+                    ),
+                    flush=True,
+                )
+                if np.isnan(loss_meter.avg):
+                    print("training diverged...")
+                    return params
+
+            end_time = time.time()
+            global_step += 1
+
+            # as-full: 10% of iterations per epoch (traintest.py:136-139)
+            if dataset == "as-full" and i > 0.1 * n_batches:
+                break
+
+        print("start validation")
+        stats, valid_loss = validate(eval_step, params, val_loader, loss_fn)
+        mAP = mean_average_precision(stats)
+        mAUC = mean_auc(stats)
+        acc = stats[0]["acc"]
+
+        print("mAP: {:.6f}".format(mAP) if metrics_name == "mAP"
+              else "acc: {:.6f}".format(acc))
+        print("AUC: {:.6f}".format(mAUC))
+        print("d_prime: {:.6f}".format(d_prime(mAUC)))
+        print("train_loss: {:.6f}".format(loss_meter.avg))
+        print("valid_loss: {:.6f}".format(valid_loss))
+
+        if n_class_sonyc is not None and n_class_sonyc > 527:
+            sonyc_mAP = float(np.mean([s["AP"] for s in stats[527:n_class_sonyc]]))
+            original_mAP = float(np.mean([s["AP"] for s in stats[:527]]))
+            print(f"Original AudioSet classes mAP: {original_mAP:.6f}")
+            print(f"SONYC classes mAP: {sonyc_mAP:.6f}")
+
+        result[epoch - 1, :] = [acc, mAP, mAUC, lr * scheduler.scale]
+        np.savetxt(os.path.join(exp_dir, "result.csv"), result, delimiter=",")
+
+        if mAP > best_mAP:
+            best_mAP = mAP
+            if metrics_name == "mAP":
+                best_epoch = epoch
+        if acc > best_acc:
+            best_acc = acc
+            if metrics_name == "acc":
+                best_epoch = epoch
+
+        if save_model:
+            save_params(
+                os.path.join(exp_dir, "models", f"audio_model.{epoch}.npz"), params
+            )
+
+        scheduler.step(mAP if metrics_name == "mAP" else acc)
+
+        with open(os.path.join(exp_dir, f"stats_{epoch}.pickle"), "wb") as handle:
+            pickle.dump(stats, handle, protocol=pickle.HIGHEST_PROTOCOL)
+        progress.append(
+            [epoch, global_step, best_epoch, best_mAP, time.time() - start_time]
+        )
+        with open(os.path.join(exp_dir, "progress.pkl"), "wb") as f:
+            pickle.dump(progress, f)
+
+        print("epoch {:d} training time: {:.3f}".format(epoch, time.time() - begin_time))
+        loss_meter.reset()
+        per_sample_time.reset()
+        per_sample_data_time.reset()
+        per_sample_dnn_time.reset()
+
+    return params
+
+
+def wa_model(exp_dir: str, start_epoch: int = 16, end_epoch: int = 30) -> dict:
+    """Average epoch checkpoints start..end (run.py:213-227)."""
+    _, summed = load_params(
+        os.path.join(exp_dir, "models", f"audio_model.{start_epoch}.npz")
+    )
+    summed = jax.tree.map(lambda a: a.astype(np.float64), summed)
+    model_cnt = 1
+    for epoch in range(start_epoch + 1, end_epoch + 1):
+        path = os.path.join(exp_dir, "models", f"audio_model.{epoch}.npz")
+        if os.path.exists(path):
+            _, other = load_params(path)
+            summed = jax.tree.map(lambda a, b: a + b, summed, other)
+            model_cnt += 1
+    print("wa {:d} models from {:d} to {:d}".format(model_cnt, start_epoch, end_epoch))
+    averaged = jax.tree.map(
+        lambda a: (a / float(model_cnt)).astype(np.float32), summed
+    )
+    save_params(os.path.join(exp_dir, "models", "audio_model_wa.npz"), averaged)
+    return averaged
