@@ -111,3 +111,53 @@ def encoder_apply(
     x, all_x = jax.lax.scan(body, x, params["blocks"])
     x = layer_norm(params["ln_post"], x)
     return x, all_x.transpose(1, 0, 2, 3)  # [B, L, T/20, D]
+
+
+@partial(jax.jit, static_argnames=("n_head", "tap_mode", "compute_dtype"))
+def encoder_apply_taps(
+    params: dict,
+    mel: jnp.ndarray,
+    n_head: int,
+    tap_mode: str = "all_nopool",
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Feature-extraction encoder with truncated inputs and tap modes.
+
+    Mirrors the research fork's modified encoder
+    (whisper_feat_extracrt/whisper/model.py:148-201): the positional embedding
+    is TRUNCATED to the actual token length (so 10 s / 1000-frame AudioSet and
+    5 s / 500-frame ESC-50 inputs work without padding), ln_post is skipped,
+    and the collected stack INCLUDES the conv/embedding output as layer 0.
+
+    tap_mode:
+      'last'       -> [B, T', D] final block output (no ln_post)
+      'all_nopool' -> [B, L+1, T', D] embedding output + every block output
+      'all_pool'   -> [B, L+1, D] time-mean of each tap
+    """
+    x = mel.astype(compute_dtype).transpose(0, 2, 1)
+    x = gelu(_conv1d(params["conv1"], x, stride=1))
+    x = gelu(_conv1d(params["conv2"], x, stride=2))
+    t = x.shape[1]
+    x = x + params["positional_embedding"][:t].astype(compute_dtype)
+
+    def body(carry, block_params):
+        h = carry
+        tap = h  # input of this block == output of the previous layer
+        q, k, v = mha_project_qkv(
+            block_params["attn"], layer_norm(block_params["attn_ln"], h)
+        )
+        attn_out, _ = attention(q, k, v, n_head)
+        h = h + linear(block_params["attn"]["out"], attn_out)
+        h = h + mlp(block_params["mlp"], layer_norm(block_params["mlp_ln"], h))
+        return h, tap
+
+    x, taps = jax.lax.scan(body, x, params["blocks"])
+    if tap_mode == "last":
+        return x
+    all_x = jnp.concatenate([taps, x[None]], axis=0)  # [L+1, B, T', D]
+    all_x = all_x.transpose(1, 0, 2, 3)
+    if tap_mode == "all_pool":
+        return all_x.mean(axis=2)
+    if tap_mode == "all_nopool":
+        return all_x
+    raise ValueError(f"Unknown tap_mode: {tap_mode}")

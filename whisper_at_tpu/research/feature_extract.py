@@ -1,0 +1,131 @@
+"""All-layer encoder feature extraction for TL-TR training.
+
+Parity with the reference extraction pipeline
+(noise_robust_asr/intermediate_feat_extract/as_full/extract_as_full_whisper_all.py
+and the modified fork encoder, whisper_feat_extracrt/whisper/model.py:148-201):
+mel is TRUNCATED (not padded) to 10 s (1000 frames, AudioSet) or 5 s
+(ESC-50), the encoder runs with a truncated positional embedding, all-layer
+taps (embedding output + every block) are collected, 20x time-pooled, the
+embedding tap dropped, and saved as one compressed npz per clip.
+
+TPU re-design: clips are processed in BATCHES through one jitted taps
+encoder instead of one-clip-at-a-time; resume-by-skip is preserved.
+"""
+
+import json
+import os
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..audio import load_audio, log_mel_spectrogram, pad_or_trim
+from ..models.encoder import encoder_apply_taps
+
+POOL = 20
+
+
+def extract_features(
+    model,
+    audio,
+    n_frames: int = 1000,
+    pool: int = POOL,
+    drop_embedding_layer: bool = True,
+    fp16: bool = True,
+) -> np.ndarray:
+    """One clip -> [n_layer, n_frames/2/pool, D] pooled all-layer stack.
+
+    n_frames: mel truncation length (1000 = 10 s AudioSet, 500 = 5 s ESC-50).
+    """
+    mel = log_mel_spectrogram(audio)
+    mel = pad_or_trim(np.asarray(mel), n_frames)  # truncate/pad frames
+    taps = encoder_apply_taps(
+        model.params["encoder"],
+        jnp.asarray(mel)[None],
+        model.dims.n_audio_head,
+        "all_nopool",
+        model.compute_dtype(fp16),
+    )[0]  # [L+1, T', D]
+    taps = np.asarray(taps, np.float32)
+    n_layers, t, d = taps.shape
+    pooled = taps[:, : (t // pool) * pool].reshape(
+        n_layers, t // pool, pool, d
+    ).mean(axis=2)
+    if drop_embedding_layer:
+        pooled = pooled[1:]  # drop the conv/embedding tap (extract_*.py:38)
+    return pooled
+
+
+def extract_features_padded(
+    model,
+    audio,
+    n_tokens: int = 500,
+    pool: int = POOL,
+    fp16: bool = True,
+) -> np.ndarray:
+    """SONYC-style extraction (script/extract_sonyc_features.py:40-100):
+    pad the clip to the full 30 s window, run the standard (full-pos-emb)
+    encoder taps, keep the first n_tokens (500 = 10 s), then pool 20x."""
+    from ..audio import N_FRAMES
+
+    mel = log_mel_spectrogram(audio)
+    mel = pad_or_trim(np.asarray(mel), N_FRAMES)
+    taps = encoder_apply_taps(
+        model.params["encoder"],
+        jnp.asarray(mel)[None],
+        model.dims.n_audio_head,
+        "all_nopool",
+        model.compute_dtype(fp16),
+    )[0]
+    taps = np.asarray(taps, np.float32)[1:, :n_tokens]  # drop embedding tap
+    n_layers, t, d = taps.shape
+    return taps.reshape(n_layers, t // pool, pool, d).mean(axis=2)
+
+
+def extract_feature_set(
+    model,
+    dataset_json_file: str,
+    tar_path: str,
+    n_frames: int = 1000,
+    batch_size: int = 8,
+    fp16: bool = True,
+    limit: Optional[int] = None,
+) -> List[str]:
+    """Batched extraction over a {'data': [{'wav': ...}]} json with
+    resume-by-skip (file-exists check, extract_as_full_whisper_all.py:33)."""
+    os.makedirs(tar_path, exist_ok=True)
+    with open(dataset_json_file, "r") as fp:
+        data = json.load(fp)["data"]
+    if limit is not None:
+        data = data[:limit]
+
+    def out_path(wav: str) -> str:
+        stem = os.path.splitext(os.path.basename(wav))[0]
+        return os.path.join(tar_path, stem + ".npz")
+
+    todo = [e["wav"] for e in data if not os.path.exists(out_path(e["wav"]))]
+    written = []
+
+    for start in range(0, len(todo), batch_size):
+        chunk = todo[start : start + batch_size]
+        mels = []
+        for wav in chunk:
+            mel = log_mel_spectrogram(load_audio(wav))
+            mels.append(pad_or_trim(np.asarray(mel), n_frames))
+        mel_batch = jnp.asarray(np.stack(mels))
+        taps = encoder_apply_taps(
+            model.params["encoder"],
+            mel_batch,
+            model.dims.n_audio_head,
+            "all_nopool",
+            model.compute_dtype(fp16),
+        )
+        taps = np.asarray(taps, np.float32)  # [B, L+1, T', D]
+        b, n_layers, t, d = taps.shape
+        pooled = taps[:, :, : (t // POOL) * POOL].reshape(
+            b, n_layers, t // POOL, POOL, d
+        ).mean(axis=3)[:, 1:]
+        for wav, feat in zip(chunk, pooled):
+            np.savez_compressed(out_path(wav), feat)
+            written.append(out_path(wav))
+    return written
