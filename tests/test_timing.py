@@ -8,7 +8,7 @@ import torch
 import whisper_at_tpu  # noqa: F401
 from whisper_at_tpu.models.dims import ModelDimensions
 from whisper_at_tpu.models.whisper import Whisper
-from whisper_at_tpu.ops.dtw import backtrace, dtw, dtw_cost_trace
+from whisper_at_tpu.ops.dtw import backtrace, dtw, dtw_cost_trace  # noqa: F401
 from whisper_at_tpu.ops.median import median_filter
 from whisper_at_tpu.timing import WordTiming, add_word_timestamps, merge_punctuations
 from whisper_at_tpu.tokenizer import get_tokenizer
@@ -146,3 +146,14 @@ def test_transcribe_with_word_timestamps():
         no_speech_threshold=None,
     )
     assert all("words" in seg for seg in result["segments"])
+
+
+def test_pallas_dtw_matches_numpy():
+    """The Pallas wavefront kernel (interpret mode on CPU) must match the
+    numpy DP exactly, including tie-breaking."""
+    from whisper_at_tpu.ops.dtw_pallas import dtw_pallas
+
+    rng = np.random.default_rng(42)
+    for shape in [(5, 9), (20, 47), (33, 14)]:
+        x = rng.standard_normal(shape)
+        np.testing.assert_array_equal(dtw(x), dtw_pallas(x, interpret=True))

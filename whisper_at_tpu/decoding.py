@@ -690,7 +690,7 @@ class DecodingTask:
             audio_features_rep = audio_features
 
         cross_k, cross_v = precompute_cross_kv(
-            self.model.params["decoder"], audio_features_rep, compute_dtype
+            self.model.decoder_params_fused, audio_features_rep, compute_dtype
         )
 
         if options.beam_size is not None:
@@ -701,7 +701,7 @@ class DecodingTask:
             )
 
         buf_out, sum_lp, no_speech_probs, n_steps = greedy_sample_loop(
-            self.model.params["decoder"],
+            self.model.decoder_params_fused,
             cross_k,
             cross_v,
             buf,
@@ -786,7 +786,7 @@ class DecodingTask:
 
         fin_tokens, fin_scores, fin_count, beams, beam_lp, nsp, n_steps = (
             beam_sample_loop(
-                self.model.params["decoder"],
+                self.model.decoder_params_fused,
                 cross_k,
                 cross_v,
                 buf,

@@ -49,6 +49,33 @@ def init_decoder(key, dims, dtype=jnp.float32) -> dict:
     }
 
 
+def fuse_decoder_blocks(params: dict) -> dict:
+    """Concatenate each layer's self-attention q/k/v projections into one
+    [D, 3D] matmul (k's missing bias becomes zeros — numerically identical).
+
+    One fused matmul replaces three per layer in the token-at-a-time decode
+    loop, where per-op dispatch latency, not FLOPs, dominates. Done once at
+    model build; costs +50%% self-attn weight memory.
+    """
+    blocks = params["blocks"]
+    attn = blocks["attn"]
+    qw, kw, vw = attn["query"]["w"], attn["key"]["w"], attn["value"]["w"]
+    qb, vb = attn["query"]["b"], attn["value"]["b"]
+    kb = jnp.zeros_like(qb)
+    fused_attn = {
+        "qkv": {
+            "w": jnp.concatenate([qw, kw, vw], axis=-1),  # [L, D, 3D]
+            "b": jnp.concatenate([qb, kb, vb], axis=-1),
+        },
+        "out": attn["out"],
+    }
+    new_blocks = dict(blocks)
+    new_blocks["attn"] = fused_attn
+    out = dict(params)
+    out["blocks"] = new_blocks
+    return out
+
+
 def init_cache(
     n_layer: int, batch: int, n_ctx: int, n_state: int, dtype
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -120,9 +147,13 @@ def decoder_forward(
 
         # self-attention with cache update
         normed = layer_norm(block_params["attn_ln"], h)
-        q = linear(block_params["attn"]["query"], normed)
-        k_new = linear(block_params["attn"]["key"], normed)
-        v_new = linear(block_params["attn"]["value"], normed)
+        if "qkv" in block_params["attn"]:
+            qkv = linear(block_params["attn"]["qkv"], normed)
+            q, k_new, v_new = jnp.split(qkv, 3, axis=-1)
+        else:
+            q = linear(block_params["attn"]["query"], normed)
+            k_new = linear(block_params["attn"]["key"], normed)
+            v_new = linear(block_params["attn"]["value"], normed)
         sk_all = jax.lax.dynamic_update_slice(
             sk_all, k_new[None].astype(sk_all.dtype), (layer_idx, 0, write_pos, 0)
         )
@@ -196,9 +227,14 @@ def decoder_forward_with_qk(
         block_params, slot_row = xs
 
         normed = layer_norm(block_params["attn_ln"], h)
-        q = linear(block_params["attn"]["query"], normed)
-        k = linear(block_params["attn"]["key"], normed)
-        v = linear(block_params["attn"]["value"], normed)
+        if "qkv" in block_params["attn"]:
+            q, k, v = jnp.split(
+                linear(block_params["attn"]["qkv"], normed), 3, axis=-1
+            )
+        else:
+            q = linear(block_params["attn"]["query"], normed)
+            k = linear(block_params["attn"]["key"], normed)
+            v = linear(block_params["attn"]["value"], normed)
         attn_out, _ = attention(q, k, v, n_head, mask=causal)
         h = h + linear(block_params["attn"]["out"], attn_out)
 

@@ -16,6 +16,7 @@ import numpy as np
 from .at_head import at_head_apply, at_window_geometry, init_at_head
 from .decoder import (
     decoder_forward,
+    fuse_decoder_blocks,
     init_cache,
     init_decoder,
     precompute_cross_kv,
@@ -66,6 +67,18 @@ class Whisper:
                 ),
             }
         self.params = params
+        self._decoder_fused = None
+
+    @property
+    def decoder_params_fused(self) -> dict:
+        """Decoder params with fused self-attn qkv projections (decode path).
+
+        Built lazily — identical numerics, one matmul instead of three per
+        layer per token in the latency-bound decode loop.
+        """
+        if self._decoder_fused is None:
+            self._decoder_fused = fuse_decoder_blocks(self.params["decoder"])
+        return self._decoder_fused
 
     # ------------------------------------------------------------------ #
     @property
@@ -125,14 +138,13 @@ class Whisper:
         """Full (non-incremental) decoder forward -> fp32 logits [B, S, V]."""
         compute_dtype = self.compute_dtype(fp16)
         b, s = tokens.shape
-        cross_k, cross_v = precompute_cross_kv(
-            self.params["decoder"], audio_features, compute_dtype
-        )
+        dec = self.decoder_params_fused
+        cross_k, cross_v = precompute_cross_kv(dec, audio_features, compute_dtype)
         self_k, self_v = init_cache(
             self.dims.n_text_layer, b, s, self.dims.n_text_state, compute_dtype
         )
         hidden, _, _ = decoder_forward(
-            self.params["decoder"],
+            dec,
             tokens,
             cross_k,
             cross_v,
@@ -143,7 +155,7 @@ class Whisper:
             self.dims.n_text_head,
             compute_dtype,
         )
-        return project_logits(self.params["decoder"], hidden)
+        return project_logits(dec, hidden)
 
     def forward(self, mel: jnp.ndarray, tokens: jnp.ndarray) -> jnp.ndarray:
         audio_features, _ = self.embed_audio(mel)

@@ -16,7 +16,7 @@ import numpy as np
 
 from .audio import HOP_LENGTH, SAMPLE_RATE, TOKENS_PER_SECOND
 from .models.decoder import decoder_forward_with_qk
-from .ops.dtw import dtw
+from .ops.dtw_pallas import dtw_auto as dtw
 from .ops.median import median_filter
 from .tokenizer import Tokenizer
 
