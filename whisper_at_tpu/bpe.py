@@ -62,11 +62,19 @@ class Encoding:
         ranks: Dict[bytes, int],
         special_tokens: Dict[str, int],
         explicit_n_vocab: Optional[int] = None,
+        ranks_path: Optional[str] = None,
     ):
         self.name = name
         self._ranks = ranks
         self._special_tokens = dict(special_tokens)
         self._pat = _regex.compile(_PAT_STR)
+
+        # native C++ merge engine (whisper_at_tpu/native); None -> pure Python
+        self._native = None
+        if ranks_path is not None:
+            from .native import native_bpe
+
+            self._native = native_bpe(ranks_path)
 
         self.n_vocab = len(ranks) + len(special_tokens)
         if explicit_n_vocab is not None:
@@ -98,11 +106,14 @@ class Encoding:
             piece = match.group().encode("utf-8")
             cached = self._cache.get(piece)
             if cached is None:
-                cached = (
-                    [self._ranks[piece]]
-                    if piece in self._ranks
-                    else _bpe_merge(self._ranks, piece)
-                )
+                if piece in self._ranks:
+                    cached = [self._ranks[piece]]
+                elif self._native is not None:
+                    cached = self._native.encode_piece(piece)
+                    if cached is None:  # oversized/odd piece: python fallback
+                        cached = _bpe_merge(self._ranks, piece)
+                else:
+                    cached = _bpe_merge(self._ranks, piece)
                 self._cache[piece] = cached
             ids.extend(cached)
         return ids

@@ -257,6 +257,7 @@ def get_encoding(name: str = "gpt2") -> Encoding:
         ranks=ranks,
         special_tokens=special_tokens,
         explicit_n_vocab=n_vocab,
+        ranks_path=vocab_path,
     )
 
 
