@@ -154,6 +154,39 @@ def load_torch_checkpoint(
     )
 
 
+def convert_head_state_dict(state_dict: Dict, at_low_compute: bool = False) -> dict:
+    """Convert a TL-TR head torch checkpoint (.pth) alone into our at_model
+    pytree. Accepts the released `at_model.*` namespace or raw training-run
+    `module.*` keys (the reference's rename_state_dict.py:21-31 mapping)."""
+    sd = {}
+    for key, value in state_dict.items():
+        if key.startswith("module."):
+            key = "at_model." + key[len("module."):]
+        elif not key.startswith("at_model."):
+            key = "at_model." + key
+        sd[key] = value
+
+    at_model = {
+        "time_tr": _convert_block(sd, "at_model.time_tr", cross=False),
+        "layer_tr": _convert_block(sd, "at_model.layer_tr", cross=False),
+        "mlp_ln": _convert_ln(sd, "at_model.mlp_layer.0"),
+        "mlp": _convert_linear(sd, "at_model.mlp_layer.1"),
+    }
+    if at_low_compute or "at_model.down_layer.0.weight" in sd:
+        at_model["down_ln"] = _convert_ln(sd, "at_model.down_layer.0")
+        at_model["down"] = _convert_linear(sd, "at_model.down_layer.1")
+    return at_model
+
+
+def rename_head_state_dict(state_dict: Dict) -> Dict:
+    """Rename trained-head torch keys `module.*` -> `at_model.*` so they merge
+    with a Whisper checkpoint at load (utilities/rename_state_dict.py:21-31)."""
+    return {
+        ("at_model." + k[len("module."):] if k.startswith("module.") else k): v
+        for k, v in state_dict.items()
+    }
+
+
 # --------------------------------------------------------------------------- #
 # native checkpoint format (.npz of the flattened pytree)
 # --------------------------------------------------------------------------- #

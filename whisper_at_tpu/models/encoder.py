@@ -90,19 +90,32 @@ def encoder_apply(
       x     : [B, 1500, D]  final hidden states (after ln_post)
       all_x : [B, L, 75, D] per-layer 20x-pooled taps (before ln_post)
     """
+    from ..ops.flash import HAVE_FLASH, encoder_flash_attention
+
     x = mel.astype(compute_dtype).transpose(0, 2, 1)  # [B, T, n_mels]
     x = gelu(_conv1d(params["conv1"], x, stride=1))
     x = gelu(_conv1d(params["conv2"], x, stride=2))  # [B, 1500, D]
     x = x + params["positional_embedding"].astype(compute_dtype)
 
     b, t, d = x.shape
+    # flash attention on TPU avoids materializing the fp32 [B,H,T,T] logits
+    # (the encoder's dominant HBM traffic); fp32 parity mode and CPU use the
+    # einsum path
+    use_flash = (
+        HAVE_FLASH
+        and compute_dtype == jnp.bfloat16
+        and jax.default_backend() == "tpu"
+    )
 
     def body(carry, block_params):
         h = carry
         q, k, v = mha_project_qkv(
             block_params["attn"], layer_norm(block_params["attn_ln"], h)
         )
-        attn_out, _ = attention(q, k, v, n_head)
+        if use_flash:
+            attn_out = encoder_flash_attention(q, k, v, n_head)
+        else:
+            attn_out, _ = attention(q, k, v, n_head)
         h = h + linear(block_params["attn"]["out"], attn_out)
         h = h + mlp(block_params["mlp"], layer_norm(block_params["mlp_ln"], h))
         pooled = h.reshape(b, t // POOL, POOL, d).mean(axis=2)

@@ -1,0 +1,72 @@
+"""Flash attention for the encoder's 1500-token self-attention.
+
+The XLA formulation materializes the fp32 [B, H, 1500, 1500] logits in HBM
+(~1.4 GB per layer at batch 8 for large-v1) — the encoder's dominant memory
+traffic. The Pallas TPU flash kernel (jax.experimental.pallas.ops.tpu.
+flash_attention) keeps the softmax streaming in VMEM with fp32 accumulators,
+so numerics match the reference's fp32-softmax discipline while HBM traffic
+drops to O(B * T * D).
+
+Whisper's 1500-frame sequence is padded to 1536 (block multiple); padded
+keys are masked out via segment ids.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+try:
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        SegmentIds,
+        flash_attention,
+    )
+
+    HAVE_FLASH = True
+except ImportError:  # pragma: no cover
+    HAVE_FLASH = False
+
+_BLOCK = 512
+
+
+def _pad_len(t: int) -> int:
+    return -(-t // _BLOCK) * _BLOCK
+
+
+@partial(jax.jit, static_argnames=("n_head",))
+def encoder_flash_attention(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, n_head: int
+) -> jnp.ndarray:
+    """Non-causal self-attention [B, T, D] -> [B, T, D] via the flash kernel.
+
+    Applies the 1/sqrt(d_head) scale inside the kernel; output matches the
+    einsum+fp32-softmax reference path to bf16 tolerance.
+    """
+    b, t, d = q.shape
+    d_head = d // n_head
+    t_pad = _pad_len(t)
+
+    def split(x):
+        x = x.reshape(b, t, n_head, d_head).transpose(0, 2, 1, 3)
+        if t_pad != t:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, t_pad - t), (0, 0)))
+        return x
+
+    qh, kh, vh = split(q), split(k), split(v)
+
+    seg = (jnp.arange(t_pad) < t).astype(jnp.int32)[None, :]
+    seg = jnp.broadcast_to(seg, (b, t_pad))
+    segment_ids = SegmentIds(q=seg, kv=seg)
+
+    out = flash_attention(
+        qh, kh, vh,
+        segment_ids=segment_ids,
+        causal=False,
+        sm_scale=d_head**-0.5,
+        block_sizes=BlockSizes(
+            block_q=_BLOCK, block_k_major=_BLOCK, block_k=_BLOCK, block_b=1,
+        ),
+    )
+    out = out[:, :, :t].transpose(0, 2, 1, 3).reshape(b, t, d)
+    return out
