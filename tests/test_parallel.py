@@ -1,0 +1,103 @@
+"""Mesh/sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from whisper_at_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicate_params,
+    shard_batch,
+    tltr_param_shardings,
+)
+from whisper_at_tpu.train.steps import make_optimizer, make_sharded_train_step
+from whisper_at_tpu.train.tltr import init_tltr, tltr_apply
+
+
+@pytest.fixture(scope="module")
+def devices_ok():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+
+def test_make_mesh_shapes(devices_ok):
+    mesh = make_mesh(n_devices=8, tp=2)
+    assert mesh.shape == {"dp": 4, "tp": 2}
+    mesh_dp = make_mesh(n_devices=8)
+    assert mesh_dp.shape == {"dp": 8, "tp": 1}
+    with pytest.raises(AssertionError):
+        make_mesh(n_devices=8, dp=3, tp=2)
+
+
+def test_shard_batch_places_on_mesh(devices_ok):
+    mesh = make_mesh(n_devices=8, tp=1)
+    x = np.arange(32, dtype=np.float32).reshape(8, 4)
+    sharded = shard_batch(mesh, x)
+    assert sharded.sharding == batch_sharding(mesh)
+    np.testing.assert_array_equal(np.asarray(sharded), x)
+
+
+def test_tltr_param_shardings_split_heads(devices_ok):
+    mesh = make_mesh(n_devices=8, tp=2)
+    params = init_tltr(jax.random.PRNGKey(0), label_dim=8, n_layer=2,
+                       rep_dim=64, mode="lw_tr_1_4")
+    shardings = tltr_param_shardings(mesh, params)
+    # attention projections split over tp on the output dim
+    qspec = shardings["time_tr"]["attn"]["query"]["w"].spec
+    assert tuple(qspec) == (None, "tp")
+    ospec = shardings["time_tr"]["attn"]["out"]["w"].spec
+    assert tuple(ospec) == ("tp", None)
+    # layer norms replicate
+    assert tuple(shardings["time_tr"]["attn_ln"]["scale"].spec) == ()
+
+
+def test_sharded_training_matches_single_device(devices_ok):
+    """dp x tp sharded training must produce the same losses as one device."""
+    mode = "lw_tr_1_4"
+    params = init_tltr(jax.random.PRNGKey(1), label_dim=8, n_layer=2,
+                       rep_dim=64, mode=mode)
+    optimizer = make_optimizer(1e-3)
+    rng = np.random.default_rng(0)
+    feats = rng.standard_normal((8, 2, 25, 64)).astype(np.float32)
+    labels = (rng.random((8, 8)) > 0.8).astype(np.float32)
+
+    # single-device reference
+    from whisper_at_tpu.train.steps import make_train_step
+
+    step1 = make_train_step(mode, optimizer, compute_dtype=jnp.float32)
+    p1, o1 = params, optimizer.init(params)
+    losses1 = []
+    for _ in range(3):
+        p1, o1, loss = step1(p1, o1, jnp.asarray(feats), jnp.asarray(labels),
+                             jnp.float32(1.0))
+        losses1.append(float(loss))
+
+    # sharded
+    mesh = make_mesh(n_devices=8, tp=2)
+    step2, p2, o2 = make_sharded_train_step(
+        mesh, mode, optimizer, params, compute_dtype=jnp.float32
+    )
+    losses2 = []
+    sf = shard_batch(mesh, feats)
+    sl = shard_batch(mesh, labels)
+    for _ in range(3):
+        p2, o2, loss = step2(p2, o2, sf, sl, jnp.float32(1.0))
+        losses2.append(float(loss))
+
+    np.testing.assert_allclose(losses1, losses2, rtol=2e-4, atol=1e-5)
+
+
+def test_replicate_params(devices_ok):
+    mesh = make_mesh(n_devices=4)
+    params = {"w": jnp.ones((4, 4))}
+    rep = replicate_params(mesh, params)
+    assert rep["w"].sharding.is_fully_replicated
+
+
+def test_graft_dryrun_entrypoint(devices_ok):
+    import __graft_entry__ as graft
+
+    graft.dryrun_multichip(8)
+    graft.dryrun_multichip(4)

@@ -1,0 +1,348 @@
+"""Research/tooling tests: WER, noisy mixing, feature extraction, FLOPs,
+SONYC tooling, checkpoint conversion, native BPE."""
+
+import json
+import os
+import wave
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from whisper_at_tpu.models.dims import ModelDimensions
+from whisper_at_tpu.models.whisper import Whisper
+from whisper_at_tpu.research.noisy_speech import add_noise, write_wav
+from whisper_at_tpu.research.wer import (
+    calculate_wer,
+    preprocess_text,
+    word_edit_distance,
+)
+
+DIMS = ModelDimensions(
+    n_mels=80, n_audio_ctx=1500, n_audio_state=64, n_audio_head=4,
+    n_audio_layer=2, n_vocab=51865, n_text_ctx=448, n_text_head=4,
+    n_text_state=64, n_text_layer=2,
+)
+
+
+# --------------------------------------------------------------------------- #
+# WER
+# --------------------------------------------------------------------------- #
+
+
+def test_word_edit_distance():
+    assert word_edit_distance("a b c".split(), "a b c".split()) == 0
+    assert word_edit_distance("a x c".split(), "a b c".split()) == 1
+    assert word_edit_distance("a c".split(), "a b c".split()) == 1
+    assert word_edit_distance("a b c d".split(), "a b c".split()) == 1
+    assert word_edit_distance([], "a b".split()) == 2
+    assert word_edit_distance("x y z".split(), []) == 3
+
+
+def test_calculate_wer():
+    hyps = ["the cat sat", "hello world"]
+    refs = ["the cat sat on the mat", "hello there world"]
+    # 3 deletions + 1 deletion over 6+3=9 ref words
+    assert calculate_wer(hyps, refs) == pytest.approx(4 / 9)
+
+
+def test_preprocess_text():
+    assert preprocess_text("Hello, World!") == "HELLO WORLD"
+
+
+# --------------------------------------------------------------------------- #
+# noisy speech
+# --------------------------------------------------------------------------- #
+
+
+def test_add_noise_snr():
+    rng = np.random.default_rng(0)
+    speech = rng.standard_normal(16000).astype(np.float32)
+    noise = rng.standard_normal(8000).astype(np.float32) * 0.5
+    mixed = add_noise(speech, noise, noise_db=0.0)
+    assert mixed.shape == speech.shape
+    # at 0 dB SNR the added noise power approximates the speech power
+    added = mixed - speech
+    ratio = (speech**2).mean() / (added**2).mean()
+    assert 0.8 < ratio < 1.25
+    # noise shorter than speech must be looped, not zero-padded
+    assert np.abs(added[8000:]).sum() > 0
+
+
+def test_write_wav_roundtrip(tmp_path):
+    from whisper_at_tpu.audio import load_audio
+
+    x = (0.5 * np.sin(np.linspace(0, 100, 16000))).astype(np.float32)
+    path = str(tmp_path / "x.wav")
+    write_wav(path, x)
+    loaded = load_audio(path)
+    np.testing.assert_allclose(loaded, x, atol=1e-3)
+
+
+# --------------------------------------------------------------------------- #
+# feature extraction
+# --------------------------------------------------------------------------- #
+
+
+def test_extract_features_truncated():
+    from whisper_at_tpu.research.feature_extract import extract_features
+
+    model = Whisper(DIMS, seed=0)
+    audio = np.random.default_rng(0).standard_normal(16000 * 10).astype(np.float32)
+    feat = extract_features(model, audio, n_frames=1000, fp16=False)
+    # 1000 frames -> 500 tokens -> 25 pooled; embedding tap dropped
+    assert feat.shape == (DIMS.n_audio_layer, 25, 64)
+
+    feat5 = extract_features(model, audio[: 16000 * 5], n_frames=500, fp16=False)
+    assert feat5.shape == (DIMS.n_audio_layer, 12, 64)
+
+
+def test_extract_features_padded():
+    from whisper_at_tpu.research.feature_extract import extract_features_padded
+
+    model = Whisper(DIMS, seed=0)
+    audio = np.random.default_rng(1).standard_normal(16000 * 10).astype(np.float32)
+    feat = extract_features_padded(model, audio, n_tokens=500, fp16=False)
+    assert feat.shape == (DIMS.n_audio_layer, 25, 64)
+
+
+def test_extract_feature_set(tmp_path):
+    from whisper_at_tpu.research.feature_extract import extract_feature_set
+
+    model = Whisper(DIMS, seed=0)
+    rng = np.random.default_rng(0)
+    wavs = []
+    for i in range(3):
+        path = str(tmp_path / f"clip{i}.wav")
+        x = (0.3 * rng.standard_normal(16000 * 3)).astype(np.float32)
+        write_wav(path, x)
+        wavs.append({"wav": path, "labels": "/m/000"})
+    data_json = str(tmp_path / "data.json")
+    with open(data_json, "w") as f:
+        json.dump({"data": wavs}, f)
+
+    out = extract_feature_set(model, data_json, str(tmp_path / "feats"),
+                              n_frames=1000, batch_size=2, fp16=False)
+    assert len(out) == 3
+    feat = np.load(out[0])["arr_0"]
+    assert feat.shape == (DIMS.n_audio_layer, 25, 64)
+    # resume-by-skip: second run extracts nothing
+    out2 = extract_feature_set(model, data_json, str(tmp_path / "feats"),
+                               n_frames=1000, batch_size=2, fp16=False)
+    assert out2 == []
+
+
+# --------------------------------------------------------------------------- #
+# FLOPs
+# --------------------------------------------------------------------------- #
+
+
+def test_flops_accounting():
+    from whisper_at_tpu.models.dims import dims_for
+    from whisper_at_tpu.ops.flops import at_overhead, encoder_flops, tltr_flops
+
+    dims = dims_for("large-v1")
+    res = at_overhead(dims)
+    # full TL-TR: a few percent of the ASR cost for a 30 s window; the
+    # low-compute TL-TR-512 head is the one meeting the reference's "<1%"
+    # claim (README.md:33,39 - "not for all sizes")
+    assert res["at_overhead_ratio"] < 0.05
+    res_low = at_overhead(dims, "tl_down_tr_512_1_8")
+    assert res_low["at_overhead_ratio"] < 0.01
+    assert encoder_flops(dims) > 1e11
+    # low-compute head is cheaper than the full head
+    assert tltr_flops("lw_down_tr_512_1_8", 32, 1280) < tltr_flops("lw_tr_1_8", 32, 1280)
+
+
+# --------------------------------------------------------------------------- #
+# SONYC tooling
+# --------------------------------------------------------------------------- #
+
+
+@pytest.fixture()
+def sonyc_fixture(tmp_path):
+    annotations = tmp_path / "annotations.csv"
+    annotations.write_text(
+        "split,audio_filename,annotator_id,1_engine_presence,2_dog-barking_presence\n"
+        "train,a.wav,0,1,0\n"
+        "train,b.wav,1,0,1\n"
+        "validate,c.wav,0,1,1\n"
+    )
+    audioset_csv = tmp_path / "class_labels_indices.csv"
+    audioset_csv.write_text(
+        'index,mid,display_name\n0,/m/engine,"Engine"\n1,/m/dog,"Dog"\n'
+    )
+    mapping = tmp_path / "mapping.json"
+    mapping.write_text(json.dumps({"engine": "Engine", "dog-barking": None}))
+    return {
+        "annotations": str(annotations),
+        "audioset_csv": str(audioset_csv),
+        "mapping": str(mapping),
+        "tmp": tmp_path,
+    }
+
+
+def test_sonyc_processing(sonyc_fixture):
+    import sys
+
+    sys.path.insert(0, "tools")
+    from sonyc_ust import (
+        build_label_space,
+        load_audioset_classes,
+        parse_annotations,
+        write_dataset_jsons,
+    )
+
+    audio_classes, audio_split = parse_annotations(sonyc_fixture["annotations"])
+    assert audio_classes["a.wav"] == {"engine"}
+    assert audio_classes["c.wav"] == {"engine", "dog-barking"}
+
+    audioset_classes, index_to_mid = load_audioset_classes(
+        sonyc_fixture["audioset_csv"]
+    )
+    mapping = json.load(open(sonyc_fixture["mapping"]))
+    label_index, mids = build_label_space(
+        audio_classes, mapping, audioset_classes, index_to_mid
+    )
+    assert label_index["engine"] == 0  # mapped to AudioSet
+    assert label_index["dog-barking"] == 2  # new class past the table
+
+    out = write_dataset_jsons(
+        audio_classes, audio_split, label_index, mids, "/audio",
+        str(sonyc_fixture["tmp"] / "out"),
+    )
+    train = json.load(open(out["train"]))["data"]
+    assert len(train) == 2
+    assert os.path.exists(out["class_csv"])
+
+
+def test_sonyc_verified_only(sonyc_fixture):
+    import sys
+
+    sys.path.insert(0, "tools")
+    from sonyc_ust import parse_annotations
+
+    audio_classes, _ = parse_annotations(
+        sonyc_fixture["annotations"], verified_only=True
+    )
+    assert "b.wav" not in audio_classes  # annotator_id 1 filtered out
+
+
+def test_match_labels_fallback():
+    import sys
+
+    sys.path.insert(0, "tools")
+    from match_labels import match_labels
+
+    audioset = {"Dog": "a barking animal", "Engine": "motor sound"}
+    mapping = match_labels(["dog-barking", "engine"], audioset, threshold=0.6)
+    assert mapping["engine"] == "Engine"
+    assert mapping["dog-barking"] == "Dog"
+
+
+# --------------------------------------------------------------------------- #
+# checkpoint conversion
+# --------------------------------------------------------------------------- #
+
+
+def test_torch_checkpoint_roundtrip(tmp_path):
+    """export -> convert must reproduce the original pytree (strict merge
+    semantics of whisper_at/__init__.py:187-191)."""
+    import torch
+
+    from whisper_at_tpu.checkpoint import (
+        convert_torch_state_dict,
+        export_torch_state_dict,
+        load_torch_checkpoint,
+    )
+
+    model = Whisper(DIMS, seed=4)
+    sd = export_torch_state_dict(model.params)
+    params2 = convert_torch_state_dict(sd, DIMS)
+
+    import jax
+
+    for a, b in zip(jax.tree.leaves(model.params), jax.tree.leaves(params2)):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32), atol=1e-6
+        )
+
+    # two-file load path (whisper .pt + at .pth)
+    whisper_sd = {k: v for k, v in sd.items() if not k.startswith("at_model.")}
+    at_sd = {k: v for k, v in sd.items() if k.startswith("at_model.")}
+    pt_path = str(tmp_path / "model.pt")
+    torch.save({"dims": DIMS.__dict__, "model_state_dict": whisper_sd}, pt_path)
+    pth_path = str(tmp_path / "at.pth")
+    torch.save(at_sd, pth_path)
+
+    dims2, params3 = load_torch_checkpoint(pt_path, pth_path)
+    assert dims2 == DIMS
+    for a, b in zip(jax.tree.leaves(model.params), jax.tree.leaves(params3)):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32), atol=1e-6
+        )
+
+
+def test_head_checkpoint_conversion():
+    from whisper_at_tpu.checkpoint import (
+        convert_head_state_dict,
+        export_torch_state_dict,
+        rename_head_state_dict,
+    )
+
+    model = Whisper(DIMS, seed=5)
+    sd = export_torch_state_dict(model.params)
+    at_sd = {k: v for k, v in sd.items() if k.startswith("at_model.")}
+
+    # module.* namespace (raw training run) -> at_model.*
+    module_sd = {"module." + k[len("at_model."):]: v for k, v in at_sd.items()}
+    renamed = rename_head_state_dict(module_sd)
+    assert set(renamed.keys()) == set(at_sd.keys())
+
+    head = convert_head_state_dict(module_sd)
+    import jax
+
+    for a, b in zip(
+        jax.tree.leaves(model.params["at_model"]), jax.tree.leaves(head)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32), atol=1e-6
+        )
+
+
+def test_native_checkpoint_roundtrip(tmp_path):
+    from whisper_at_tpu.checkpoint import load_params, save_params
+
+    model = Whisper(DIMS, seed=6)
+    path = str(tmp_path / "ckpt.npz")
+    save_params(path, model.params, DIMS)
+    dims2, params2 = load_params(path)
+    assert dims2 == DIMS
+    import jax
+
+    for a, b in zip(jax.tree.leaves(model.params), jax.tree.leaves(params2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+# --------------------------------------------------------------------------- #
+# native BPE
+# --------------------------------------------------------------------------- #
+
+
+def test_native_bpe_matches_python():
+    from whisper_at_tpu.bpe import Encoding, _bpe_merge, load_ranks
+    from whisper_at_tpu.native import native_bpe
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "whisper_at_tpu", "assets",
+        "gpt2.tiktoken",
+    )
+    engine = native_bpe(path)
+    if engine is None:
+        pytest.skip("native toolchain unavailable")
+    ranks = load_ranks(path)
+    assert engine.num_ranks == len(ranks)
+    for text in [" hello", " world", "Zyzzyva", " antidisestablishmentarianism",
+                 "12345", "ünïcödé"]:
+        piece = text.encode("utf-8")
+        assert engine.encode_piece(piece) == _bpe_merge(ranks, piece)

@@ -61,7 +61,7 @@ def match_labels(
     try:
         from sentence_transformers import SentenceTransformer, util
 
-        model = SentenceTransformer("all-MiniLM-L6-v2")
+        model = SentenceTransformer("all-MiniLM-L6-v2")  # may download
         audioset_embs = model.encode(audioset_descs, convert_to_tensor=True)
         mapping = {}
         for s_label in sonyc_labels:
@@ -73,7 +73,8 @@ def match_labels(
                 audioset_labels[best_idx] if best_score >= threshold else None
             )
         return mapping
-    except ImportError:
+    except Exception:
+        # sentence-transformers missing or model download unavailable
         pass
 
     # fallback: character-trigram cosine on names (threshold recalibrated)

@@ -26,6 +26,11 @@ def tltr_flops(
     mode: str, n_layer: int, rep_dim: int, t: int = 25, label_dim: int = 527
 ) -> int:
     """FLOPs of one TLTR forward on [n_layer, t, rep_dim] features."""
+    # accept both the research-mode names (lw_tr*) and the production
+    # ATModel names (tl_tr* / tl_down_tr*, model.py:332-349)
+    mode = mode.replace("tl_down_tr", "lw_down_tr")
+    if mode.startswith("tl_tr"):
+        mode = "lw_tr" + mode[len("tl_tr"):]
     cfg = parse_tltr_mode(mode)
     d = cfg["inter_dim"] if cfg["down"] else rep_dim
     total = 0
