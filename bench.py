@@ -32,8 +32,6 @@ def main():
     import jax.numpy as jnp
 
     import whisper_at_tpu as wat
-    from whisper_at_tpu.decoding import DecodingOptions, DecodingTask
-    from whisper_at_tpu.ops.mel import log_mel_spectrogram_jax
 
     dtype = jnp.float32 if args.fp32 else jnp.bfloat16
     model = wat.build_model(args.size, storage_dtype=dtype, seed=0)
@@ -44,25 +42,23 @@ def main():
     audio = (0.3 * np.sin(2 * np.pi * 220.0 * t)
              + 0.05 * rng.standard_normal(len(t))).astype(np.float32)
 
-    options = DecodingOptions(
-        language="en",
-        temperature=0.0,
-        sample_len=args.tokens,
-        fp16=not args.fp32,
-        without_timestamps=False,
-    )
-    task = DecodingTask(model, options)
+    from whisper_at_tpu.transcribe import transcribe_batched
 
     def pipeline():
-        mel = log_mel_spectrogram_jax(audio)  # [80, frames]
-        n_frames = (mel.shape[1] // 3000) * 3000
-        windows = mel[:, :n_frames].T.reshape(args.batch, 3000, 80).transpose(0, 2, 1)
-        results = task.run(windows)
-        # tagging over the full batch of pooled stacks in one call
-        at_feats = jnp.stack([r.audio_features_for_at for r in results])
-        tags = model.at_forward(at_feats, time_resolution=10)
-        np.asarray(tags)  # force completion
-        return results, tags
+        # the public batched long-audio path: mel -> batched encode+tag ->
+        # batched greedy decode -> segments
+        return transcribe_batched(
+            model,
+            audio,
+            language="en",
+            temperature=0.0,
+            sample_len=args.tokens,
+            fp16=not args.fp32,
+            max_batch=args.batch,
+            logprob_threshold=None,
+            compression_ratio_threshold=None,
+            no_speech_threshold=None,
+        )
 
     # warmup (compiles the mel kernel, encoder, prefill, and decode loop)
     pipeline()

@@ -152,3 +152,48 @@ def test_language_detection_path(model, audio_45s):
         no_speech_threshold=None,
     )
     assert result["language"] in wat.tokenizer.LANGUAGES
+
+
+def test_transcribe_batched_matches_structure(model, audio_45s):
+    """The batched fast path must produce the same result schema and the
+    same audio_tag grid as the sequential loop."""
+    result = wat.transcribe_batched(
+        model,
+        audio_45s,
+        language="en",
+        fp16=False,
+        temperature=0.0,
+        logprob_threshold=None,
+        compression_ratio_threshold=None,
+        no_speech_threshold=None,
+        max_batch=2,
+    )
+    assert set(result.keys()) == {
+        "text", "segments", "language", "at_time_res", "audio_tag"
+    }
+    assert result["audio_tag"].shape == (5, 527)
+    assert np.abs(result["audio_tag"]).sum(axis=1).min() > 0
+    for seg in result["segments"]:
+        assert seg["end"] >= seg["start"]
+
+
+def test_transcribe_batched_tags_match_sequential(model, audio_45s, result):
+    """Window-aligned tagging must be identical between the two paths when
+    the sequential loop advances by full windows (greedy, no thresholds, and
+    this synthetic audio yields full-window seeks for tag purposes)."""
+    batched = wat.transcribe_batched(
+        model,
+        audio_45s,
+        language="en",
+        fp16=False,
+        temperature=0.0,
+        logprob_threshold=None,
+        compression_ratio_threshold=None,
+        no_speech_threshold=None,
+    )
+    # tag rows are computed from identical 30 s encoder windows in both paths
+    # wherever the sequential loop's seek stayed on window boundaries; row 0
+    # always is.
+    np.testing.assert_allclose(
+        batched["audio_tag"][0], result["audio_tag"][0], atol=2e-3
+    )

@@ -351,6 +351,216 @@ def transcribe(
     )
 
 
+def transcribe_batched(
+    model,
+    audio: Union[str, np.ndarray],
+    *,
+    temperature: Union[float, Tuple[float, ...]] = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
+    compression_ratio_threshold: Optional[float] = 2.4,
+    logprob_threshold: Optional[float] = -1.0,
+    no_speech_threshold: Optional[float] = 0.6,
+    at_time_res: float = 10,
+    max_batch: int = 8,
+    verbose: Optional[bool] = None,
+    **decode_options,
+):
+    """Batched long-audio transcription + tagging (the TPU fast path).
+
+    Packs ALL 30 s windows of the file across the batch dimension: one mel
+    pass, one batched encoder+tagging pass, and batched decoding — windows
+    decode in parallel instead of the reference's sequential seek loop
+    (transcribe.py:239-395). Semantics differences vs `transcribe`:
+
+    * fixed 30 s window stride (no timestamp-driven seek refinement), which is
+      the natural mode when condition_on_previous_text=False (SURVEY §7.5);
+    * no prompt threading between windows.
+
+    The temperature fallback ladder still applies, re-decoding only the
+    windows that failed quality thresholds. Returns the same result dict as
+    `transcribe`.
+    """
+    mel_device = log_mel_spectrogram(audio, padding=N_SAMPLES)
+    mel = np.asarray(mel_device, dtype=np.float32)
+    content_frames = mel.shape[-1] - N_FRAMES
+
+    at_decision_window = at_time_res * 100
+    assert at_decision_window % 40 == 0, (
+        "at_time_res must be an integer multiple of 0.4 second, current "
+        "at_time_res={:.2f}.".format(at_time_res)
+    )
+    at_decision_window = int(at_decision_window)
+    if at_decision_window != 1000:
+        warnings.warn(
+            "at_time_res {:.2f} differs from the 10 s training resolution; "
+            "tagging quality may drop (ASR unaffected).".format(at_time_res),
+            stacklevel=2,
+        )
+
+    if decode_options.get("language", None) is None:
+        if not model.is_multilingual:
+            decode_options["language"] = "en"
+        else:
+            mel_segment = pad_or_trim(mel, N_FRAMES)
+            _, probs = model.detect_language(jnp.asarray(mel_segment))
+            decode_options["language"] = max(probs, key=probs.get)
+
+    language: str = decode_options["language"]
+    task: str = decode_options.get("task", "transcribe")
+    tokenizer = get_tokenizer(model.is_multilingual, language=language, task=task)
+
+    n_windows = max(1, -(-content_frames // N_FRAMES))
+    windows = np.zeros((n_windows, mel.shape[0], N_FRAMES), np.float32)
+    for w in range(n_windows):
+        seg = mel[:, w * N_FRAMES : (w + 1) * N_FRAMES]
+        windows[w, :, : seg.shape[1]] = seg
+
+    temperatures = (
+        [temperature] if isinstance(temperature, (int, float)) else list(temperature)
+    )
+
+    from .decoding import DecodingOptions, DecodingTask
+
+    results = [None] * n_windows
+    pending = list(range(n_windows))
+    for t in temperatures:
+        if not pending:
+            break
+        kwargs = {**decode_options}
+        if t > 0:
+            kwargs.pop("beam_size", None)
+            kwargs.pop("patience", None)
+        else:
+            kwargs.pop("best_of", None)
+        options = DecodingOptions(**kwargs, temperature=t)
+        dtask = DecodingTask(model, options)
+        for start in range(0, len(pending), max_batch):
+            chunk = pending[start : start + max_batch]
+            chunk_results = dtask.run(jnp.asarray(windows[chunk]))
+            for w, r in zip(chunk, chunk_results):
+                results[w] = r
+
+        still_pending = []
+        for w in pending:
+            r = results[w]
+            needs_fallback = False
+            if (
+                compression_ratio_threshold is not None
+                and r.compression_ratio > compression_ratio_threshold
+            ):
+                needs_fallback = True
+            if logprob_threshold is not None and r.avg_logprob < logprob_threshold:
+                needs_fallback = True
+            if (
+                no_speech_threshold is not None
+                and r.no_speech_prob > no_speech_threshold
+            ):
+                needs_fallback = False
+            if needs_fallback:
+                still_pending.append(w)
+        pending = still_pending
+
+    # ---- audio tagging: one batched TL-TR pass over all windows ----
+    all_audio_tags = np.zeros(
+        (max(1, -(-content_frames // at_decision_window)), 527), np.float32
+    )
+    at_feats = jnp.stack([r.audio_features_for_at for r in results])
+    # group windows by their alignment offset into the decision grid
+    import math as _math
+
+    groups = {}
+    for w in range(n_windows):
+        seek = w * N_FRAMES
+        at_start = _math.floor(seek % at_decision_window / 40)
+        groups.setdefault(at_start, []).append(w)
+    for at_start, ws in groups.items():
+        group_feats = at_feats[jnp.asarray(ws, dtype=jnp.int32)]
+        tags = np.asarray(
+            model.at_forward(group_feats[:, :, at_start:, :], at_time_res)
+        )
+        for row, w in enumerate(ws):
+            seek = w * N_FRAMES
+            cur_start = _math.floor(seek / at_decision_window)
+            cur_end = min(all_audio_tags.shape[0], cur_start + tags.shape[1])
+            all_audio_tags[cur_start:cur_end] = tags[row, : cur_end - cur_start]
+
+    # ---- segment construction per window (fixed 30 s offsets) ----
+    input_stride = exact_div(N_FRAMES, model.dims.n_audio_ctx)
+    time_precision = input_stride * HOP_LENGTH / SAMPLE_RATE
+    all_segments: List[dict] = []
+    all_tokens: List[int] = []
+    for w, result in enumerate(results):
+        seek = w * N_FRAMES
+        time_offset = float(seek * HOP_LENGTH / SAMPLE_RATE)
+        segment_size = min(N_FRAMES, content_frames - seek)
+        segment_duration = segment_size * HOP_LENGTH / SAMPLE_RATE
+        tokens = np.asarray(result.tokens, dtype=np.int64)
+
+        if no_speech_threshold is not None:
+            should_skip = result.no_speech_prob > no_speech_threshold
+            if (
+                logprob_threshold is not None
+                and result.avg_logprob > logprob_threshold
+            ):
+                should_skip = False
+            if should_skip:
+                continue
+
+        timestamp_tokens = tokens >= tokenizer.timestamp_begin
+        consecutive = np.where(timestamp_tokens[:-1] & timestamp_tokens[1:])[0] + 1
+        window_segments = []
+        if len(consecutive) > 0:
+            last_slice = 0
+            slices = consecutive.tolist()
+            single_timestamp_ending = timestamp_tokens[-2:].tolist() == [False, True]
+            if single_timestamp_ending:
+                slices.append(len(tokens))
+            for current_slice in slices:
+                sliced = tokens[last_slice:current_slice]
+                start_pos = int(sliced[0]) - tokenizer.timestamp_begin
+                end_pos = int(sliced[-1]) - tokenizer.timestamp_begin
+                window_segments.append(
+                    (time_offset + start_pos * time_precision,
+                     time_offset + end_pos * time_precision, sliced)
+                )
+                last_slice = current_slice
+        else:
+            duration = segment_duration
+            ts = tokens[timestamp_tokens.nonzero()[0]]
+            if len(ts) > 0 and int(ts[-1]) != tokenizer.timestamp_begin:
+                duration = (int(ts[-1]) - tokenizer.timestamp_begin) * time_precision
+            window_segments.append(
+                (time_offset, time_offset + duration, tokens)
+            )
+
+        for start, end, seg_tokens in window_segments:
+            seg_tokens = [int(tk) for tk in seg_tokens]
+            text_tokens = [tk for tk in seg_tokens if tk < tokenizer.eot]
+            text = tokenizer.decode(text_tokens)
+            if start == end or text.strip() == "":
+                continue
+            all_segments.append({
+                "id": len(all_segments),
+                "seek": seek,
+                "start": start,
+                "end": end,
+                "text": text,
+                "tokens": seg_tokens,
+                "temperature": result.temperature,
+                "avg_logprob": result.avg_logprob,
+                "compression_ratio": result.compression_ratio,
+                "no_speech_prob": result.no_speech_prob,
+            })
+            all_tokens.extend(seg_tokens)
+
+    return dict(
+        text=tokenizer.decode(all_tokens),
+        segments=all_segments,
+        language=language,
+        at_time_res=at_time_res,
+        audio_tag=all_audio_tags,
+    )
+
+
 def cli():
     from . import available_models, load_model
 
