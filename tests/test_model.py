@@ -107,9 +107,10 @@ def test_incremental_decode_matches_full(model, mel):
     full_logits = np.asarray(model.logits(jnp.asarray(tokens, jnp.int32), x, fp16=False))
 
     dec = model.params["decoder"]
-    ck, cv = precompute_cross_kv(dec, x, jnp.float32)
+    ck, cv = precompute_cross_kv(dec, x, dims.n_text_head, jnp.float32)
     n_ctx = 32
-    sk, sv = init_cache(dims.n_text_layer, 2, n_ctx, dims.n_text_state, jnp.float32)
+    sk, sv = init_cache(dims.n_text_layer, 2, n_ctx, dims.n_text_state,
+                        jnp.float32, dims.n_text_head)
 
     # prefill the first 3 tokens with a left pad of 2 (prompt-bucket semantics)
     pad = 2

@@ -210,8 +210,8 @@ def greedy_sample_loop(
     Sampled tokens occupy slots [prefill, prefill + n_steps).
     """
     n_layer, b = cross_k.shape[0], cross_k.shape[1]
-    d = cross_k.shape[3]
-    self_k, self_v = init_cache(n_layer, b, total, d, compute_dtype)
+    d = cross_k.shape[2] * cross_k.shape[3]  # H * Dh
+    self_k, self_v = init_cache(n_layer, b, total, d, compute_dtype, n_head)
 
     hidden, self_k, self_v = decoder_forward(
         dec_params, buf_init[:, :prefill], cross_k, cross_v, self_k, self_v,
@@ -356,10 +356,10 @@ def beam_sample_loop(
     n_cand = k_beam * (k_beam + 1)
     n_layer, bk = cross_k.shape[0], cross_k.shape[1]
     a_audio = bk // k_beam
-    d = cross_k.shape[3]
+    d = cross_k.shape[2] * cross_k.shape[3]  # H * Dh
     c_cap = max_candidates
 
-    self_k, self_v = init_cache(n_layer, bk, total, d, compute_dtype)
+    self_k, self_v = init_cache(n_layer, bk, total, d, compute_dtype, n_head)
     hidden, self_k, self_v = decoder_forward(
         dec_params, buf_init[:, :prefill], cross_k, cross_v, self_k, self_v,
         jnp.int32(0), pad, n_head, compute_dtype,
@@ -690,7 +690,8 @@ class DecodingTask:
             audio_features_rep = audio_features
 
         cross_k, cross_v = precompute_cross_kv(
-            self.model.decoder_params_fused, audio_features_rep, compute_dtype
+            self.model.decoder_params_fused, audio_features_rep,
+            self.model.dims.n_text_head, compute_dtype,
         )
 
         if options.beam_size is not None:

@@ -73,31 +73,83 @@ def fuse_decoder_blocks(params: dict) -> dict:
     new_blocks["attn"] = fused_attn
     out = dict(params)
     out["blocks"] = new_blocks
+    # pre-transposed embedding for the per-token vocab projection: without it
+    # XLA re-transposes the [V, D] table every decode step
+    out["token_embedding_t"] = jnp.transpose(params["token_embedding"])
     return out
 
 
 def init_cache(
-    n_layer: int, batch: int, n_ctx: int, n_state: int, dtype
+    n_layer: int, batch: int, n_ctx: int, n_state: int, dtype, n_head: int
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    shape = (n_layer, batch, n_ctx, n_state)
+    """Self-attention KV cache in head-split row layout [L, B, H, ctx, Dh].
+
+    Row layout keeps the per-token cache write a cheap contiguous
+    dynamic-update-slice (a dynamic write on the lane-minor axis stalls the
+    TPU); the self cache is small (~100 slots) so its per-step K transpose is
+    noise. The STATIC cross-attention K, by contrast, is stored pre-transposed
+    (precompute_cross_kv) — re-transposing 1.9 GB per token was the decode
+    loop's dominant cost.
+    """
+    d_head = n_state // n_head
+    shape = (n_layer, batch, n_head, n_ctx, d_head)
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 
 
-@partial(jax.jit, static_argnames=("compute_dtype",))
+def _split_kt(x: jnp.ndarray, n_head: int) -> jnp.ndarray:
+    """[B, S, D] -> transposed key layout [B, H, Dh, S]."""
+    b, s, d = x.shape
+    return x.reshape(b, s, n_head, d // n_head).transpose(0, 2, 3, 1)
+
+
+def _split_v(x: jnp.ndarray, n_head: int) -> jnp.ndarray:
+    """[B, S, D] -> value layout [B, H, S, Dh]."""
+    b, s, d = x.shape
+    return x.reshape(b, s, n_head, d // n_head).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, S, Dh] -> [B, S, D]."""
+    b, h, s, dh = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, s, h * dh)
+
+
+def attention_decode(
+    qh: jnp.ndarray,  # [B, H, T, Dh]
+    k: jnp.ndarray,  # [B, H, Dh, S] if k_transposed else [B, H, S, Dh]
+    vh: jnp.ndarray,  # [B, H, S, Dh]
+    mask: Optional[jnp.ndarray] = None,
+    k_transposed: bool = True,
+) -> jnp.ndarray:
+    """Attention on head-split layouts with fp32 logits."""
+    dtype = qh.dtype
+    scale = jnp.float32(qh.shape[-1] ** -0.5)
+    pattern = "bhtd,bhds->bhts" if k_transposed else "bhtd,bhsd->bhts"
+    qk = jnp.einsum(pattern, qh, k, preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        qk = qk + mask
+    w = jax.nn.softmax(qk, axis=-1).astype(dtype)
+    return jnp.einsum("bhts,bhsd->bhtd", w, vh)
+
+
+@partial(jax.jit, static_argnames=("n_head", "compute_dtype"))
 def precompute_cross_kv(
-    params: dict, xa: jnp.ndarray, compute_dtype=jnp.float32
+    params: dict, xa: jnp.ndarray, n_head: int, compute_dtype=jnp.float32
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Cross-attention keys/values for all layers, computed once per decode.
 
-    xa: [B, Ta, D] encoded audio. Returns (ck, cv), each [L, B, Ta, D].
-    (The reference caches these through hooks on first use because their
-    length exceeds n_text_ctx; here they are simply precomputed.)
+    xa: [B, Ta, D] encoded audio. Returns head-split, decode-layout tensors
+    ck_t [L, B, H, Dh, Ta] and cv [L, B, H, Ta, Dh]. (The reference caches
+    these through hooks on first use; here they are simply precomputed.)
     """
     xa = xa.astype(compute_dtype)
 
     def body(_, block_params):
         ca = block_params["cross_attn"]
-        return None, (linear(ca["key"], xa), linear(ca["value"], xa))
+        return None, (
+            _split_kt(linear(ca["key"], xa), n_head),
+            _split_v(linear(ca["value"], xa), n_head),
+        )
 
     _, (ck, cv) = jax.lax.scan(body, None, params["blocks"])
     return ck, cv
@@ -106,10 +158,10 @@ def precompute_cross_kv(
 def decoder_forward(
     params: dict,
     tokens: jnp.ndarray,  # [B, S] int32
-    cross_k: jnp.ndarray,  # [L, B, Ta, D]
-    cross_v: jnp.ndarray,
-    self_k: jnp.ndarray,  # [L, B, n_ctx, D] cache (functionally updated)
-    self_v: jnp.ndarray,
+    cross_k: jnp.ndarray,  # [L, B, H, Dh, Ta] (pre-transposed decode layout)
+    cross_v: jnp.ndarray,  # [L, B, H, Ta, Dh]
+    self_k: jnp.ndarray,  # [L, B, H, n_ctx, Dh] cache (functionally updated)
+    self_v: jnp.ndarray,  # [L, B, H, n_ctx, Dh]
     write_pos: jnp.ndarray,  # scalar int32: cache slot of tokens[:, 0]
     pad: jnp.ndarray,  # scalar int32: slots < pad are masked out
     n_head: int,
@@ -121,7 +173,7 @@ def decoder_forward(
     Project to vocabulary logits with `project_logits` on the positions you
     need — avoids materializing [B, S, V] during prefill.
     """
-    n_ctx = self_k.shape[2]
+    n_ctx = self_k.shape[-2]
     s = tokens.shape[1]
 
     pos = write_pos + jnp.arange(s, dtype=jnp.int32) - pad
@@ -145,7 +197,7 @@ def decoder_forward(
         h, sk_all, sv_all = carry
         layer_idx, block_params, ck, cv = xs
 
-        # self-attention with cache update
+        # self-attention with cache update (decode layouts: see init_cache)
         normed = layer_norm(block_params["attn_ln"], h)
         if "qkv" in block_params["attn"]:
             qkv = linear(block_params["attn"]["qkv"], normed)
@@ -154,27 +206,34 @@ def decoder_forward(
             q = linear(block_params["attn"]["query"], normed)
             k_new = linear(block_params["attn"]["key"], normed)
             v_new = linear(block_params["attn"]["value"], normed)
+        qh = _split_v(q, n_head)  # [B, H, S, Dh]
         sk_all = jax.lax.dynamic_update_slice(
-            sk_all, k_new[None].astype(sk_all.dtype), (layer_idx, 0, write_pos, 0)
+            sk_all,
+            _split_v(k_new, n_head)[None].astype(sk_all.dtype),
+            (layer_idx, 0, 0, write_pos, 0),
         )
         sv_all = jax.lax.dynamic_update_slice(
-            sv_all, v_new[None].astype(sv_all.dtype), (layer_idx, 0, write_pos, 0)
+            sv_all,
+            _split_v(v_new, n_head)[None].astype(sv_all.dtype),
+            (layer_idx, 0, 0, write_pos, 0),
         )
         k_full = jax.lax.dynamic_index_in_dim(sk_all, layer_idx, 0, keepdims=False)
         v_full = jax.lax.dynamic_index_in_dim(sv_all, layer_idx, 0, keepdims=False)
-        attn_out, _ = attention(
-            q, k_full.astype(compute_dtype), v_full.astype(compute_dtype),
-            n_head, mask=mask,
+        attn_out = attention_decode(
+            qh, k_full.astype(compute_dtype), v_full.astype(compute_dtype),
+            mask=mask, k_transposed=False,
         )
-        h = h + linear(block_params["attn"]["out"], attn_out)
+        h = h + linear(block_params["attn"]["out"], _merge_heads(attn_out))
 
         # cross-attention over precomputed audio keys/values
         normed = layer_norm(block_params["cross_attn_ln"], h)
         q = linear(block_params["cross_attn"]["query"], normed)
-        attn_out, _ = attention(
-            q, ck.astype(compute_dtype), cv.astype(compute_dtype), n_head
+        attn_out = attention_decode(
+            _split_v(q, n_head),
+            ck.astype(compute_dtype),
+            cv.astype(compute_dtype),
         )
-        h = h + linear(block_params["cross_attn"]["out"], attn_out)
+        h = h + linear(block_params["cross_attn"]["out"], _merge_heads(attn_out))
 
         h = h + mlp(block_params["mlp"], layer_norm(block_params["mlp_ln"], h))
         return (h, sk_all, sv_all), None
@@ -265,6 +324,16 @@ def project_logits(params: dict, hidden: jnp.ndarray) -> jnp.ndarray:
     """Tied-embedding output projection, in fp32 (whisper_at/model.py:218-220)."""
     from .layers import matmul_precision
 
+    if "token_embedding_t" in params:
+        # pre-transposed [D, V] (fuse_decoder_blocks): direct matmul
+        emb_t = params["token_embedding_t"].astype(hidden.dtype)
+        return jnp.einsum(
+            "bsd,dv->bsv",
+            hidden,
+            emb_t,
+            preferred_element_type=jnp.float32,
+            precision=matmul_precision(hidden.dtype),
+        )
     emb = params["token_embedding"].astype(hidden.dtype)
     return jnp.einsum(
         "bsd,vd->bsv",

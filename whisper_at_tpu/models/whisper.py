@@ -139,9 +139,12 @@ class Whisper:
         compute_dtype = self.compute_dtype(fp16)
         b, s = tokens.shape
         dec = self.decoder_params_fused
-        cross_k, cross_v = precompute_cross_kv(dec, audio_features, compute_dtype)
+        cross_k, cross_v = precompute_cross_kv(
+            dec, audio_features, self.dims.n_text_head, compute_dtype
+        )
         self_k, self_v = init_cache(
-            self.dims.n_text_layer, b, s, self.dims.n_text_state, compute_dtype
+            self.dims.n_text_layer, b, s, self.dims.n_text_state, compute_dtype,
+            self.dims.n_text_head,
         )
         hidden, _, _ = decoder_forward(
             dec,
