@@ -78,9 +78,11 @@ def _mel_power(x: jnp.ndarray, n_frames: int) -> jnp.ndarray:
     """Windowed DFT power -> mel energies for one padded block. [n_frames, 80]."""
     cos_m, sin_m = _dft_matrices()
     frames = _frame_signal(x.astype(jnp.float32), n_frames)
-    # HIGHEST precision: the MXU's default bf16 passes are too coarse for the
-    # log-domain mel chain; full-fp32 matmuls here are still negligible FLOPs.
-    dot = functools.partial(jnp.dot, precision=jax.lax.Precision.HIGHEST)
+    # HIGH precision (bf16_3x): a single bf16 pass is too coarse for the
+    # log-domain mel chain (abs err ~0.3), while full fp32 (HIGHEST) runs 6
+    # MXU passes and measured ~6x slower on long audio; 3-pass bf16 gives
+    # ~1e-6 relative error — indistinguishable from fp32 downstream.
+    dot = functools.partial(jnp.dot, precision=jax.lax.Precision.HIGH)
     re = dot(frames, jnp.asarray(cos_m))
     im = dot(frames, jnp.asarray(sin_m))
     power = re * re + im * im

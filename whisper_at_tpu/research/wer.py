@@ -93,3 +93,45 @@ def eval_noise_wer(
         wer_list.append(wer)
         np.savetxt(result_path, wer_list, delimiter=",")
     return wer_by_snr
+
+
+def eval_noise_wer_classwise(
+    trans_dir: str,
+    truth_dir: str,
+    result_path: str,
+    n_classes: int = 50,
+    snr_levels: Sequence[int] = tuple(SNR_LEVELS),
+) -> np.ndarray:
+    """Per-(SNR, noise-class) WER matrix (compute_wer_cla.py variant).
+
+    Transcript files are named '<db>_<class>_<utt>_mix_<noise>.txt'. Returns
+    [n_snr, n_classes]; also written to result_path as csv.
+    """
+    transcripts = [
+        os.path.join(root, f)
+        for root, _, files in os.walk(trans_dir)
+        for f in files
+        if f.endswith(".txt")
+    ]
+
+    wer = np.full((len(snr_levels), n_classes), np.nan)
+    for si, db in enumerate(snr_levels):
+        buckets: Dict[int, Dict[str, List[str]]] = {}
+        for trans_name in transcripts:
+            base = os.path.basename(trans_name)
+            parts = base.split("_")
+            if int(parts[0]) != db:
+                continue
+            cla = int(parts[1])
+            with open(trans_name, "r") as f:
+                hyp = preprocess_text(f.read())
+            utt = base.split("_mix_")[0].split("_")[2]
+            with open(os.path.join(truth_dir, utt + ".txt"), "r") as f:
+                ref = preprocess_text(f.read())
+            bucket = buckets.setdefault(cla, {"hyp": [], "ref": []})
+            bucket["hyp"].append(hyp)
+            bucket["ref"].append(ref)
+        for cla, bucket in buckets.items():
+            wer[si, cla] = calculate_wer(bucket["hyp"], bucket["ref"])
+    np.savetxt(result_path, wer, delimiter=",")
+    return wer
