@@ -26,6 +26,8 @@ def main():
     parser.add_argument("--tokens", type=int, default=96, help="decode steps per window")
     parser.add_argument("--iters", type=int, default=2)
     parser.add_argument("--fp32", action="store_true")
+    parser.add_argument("--kv-quant", action="store_true",
+                        help="int8-quantize the cross-attention KV")
     args = parser.parse_args()
 
     import jax
@@ -58,6 +60,7 @@ def main():
             logprob_threshold=None,
             compression_ratio_threshold=None,
             no_speech_threshold=None,
+            kv_quant=args.kv_quant,
         )
 
     # warmup (compiles the mel kernel, encoder, prefill, and decode loop)

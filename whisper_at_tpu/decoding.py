@@ -66,6 +66,11 @@ class DecodingOptions:
     # half precision (bfloat16 on TPU); name kept for API parity
     fp16: bool = True
 
+    # int8-quantize the cross-attention KV (halves the dominant decode-loop
+    # HBM stream; per-position scales keep the attention math exact up to
+    # int8 rounding of K/V). Off by default pending real-checkpoint parity.
+    kv_quant: bool = False
+
 
 @dataclass(frozen=False)
 class DecodingResult:
@@ -209,8 +214,9 @@ def greedy_sample_loop(
     Returns (tokens [B, total], sum_logprobs [B], no_speech_probs [B], n_steps).
     Sampled tokens occupy slots [prefill, prefill + n_steps).
     """
-    n_layer, b = cross_k.shape[0], cross_k.shape[1]
-    d = cross_k.shape[2] * cross_k.shape[3]  # H * Dh
+    _ck_arr = cross_k["q"] if isinstance(cross_k, dict) else cross_k
+    n_layer, b = _ck_arr.shape[0], _ck_arr.shape[1]
+    d = _ck_arr.shape[2] * _ck_arr.shape[3]  # H * Dh
     self_k, self_v = init_cache(n_layer, b, total, d, compute_dtype, n_head)
 
     hidden, self_k, self_v = decoder_forward(
@@ -354,9 +360,10 @@ def beam_sample_loop(
     """
     k_beam = beam_size
     n_cand = k_beam * (k_beam + 1)
-    n_layer, bk = cross_k.shape[0], cross_k.shape[1]
+    _ck_arr = cross_k["q"] if isinstance(cross_k, dict) else cross_k
+    n_layer, bk = _ck_arr.shape[0], _ck_arr.shape[1]
     a_audio = bk // k_beam
-    d = cross_k.shape[2] * cross_k.shape[3]  # H * Dh
+    d = _ck_arr.shape[2] * _ck_arr.shape[3]  # H * Dh
     c_cap = max_candidates
 
     self_k, self_v = init_cache(n_layer, bk, total, d, compute_dtype, n_head)
@@ -692,6 +699,7 @@ class DecodingTask:
         cross_k, cross_v = precompute_cross_kv(
             self.model.decoder_params_fused, audio_features_rep,
             self.model.dims.n_text_head, compute_dtype,
+            quantize=options.kv_quant,
         )
 
         if options.beam_size is not None:
