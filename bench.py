@@ -26,8 +26,10 @@ def main():
     parser.add_argument("--tokens", type=int, default=96, help="decode steps per window")
     parser.add_argument("--iters", type=int, default=2)
     parser.add_argument("--fp32", action="store_true")
-    parser.add_argument("--kv-quant", action="store_true",
-                        help="int8-quantize the cross-attention KV")
+    parser.add_argument("--kv-quant", action="store_true", default=True,
+                        help="int8-quantize the cross-attention KV (default on; "
+                             "exact-token parity on test models)")
+    parser.add_argument("--no-kv-quant", dest="kv_quant", action="store_false")
     args = parser.parse_args()
 
     import jax
@@ -76,7 +78,8 @@ def main():
     rtf = audio_seconds / best
     print(json.dumps({
         "metric": f"{args.size} batched transcribe+tag throughput "
-                  f"({args.tokens} tok/30s-window, batch {args.batch}, 1 chip)",
+                  f"({args.tokens} tok/30s-window, batch {args.batch}, "
+                  f"{'int8 cross-KV, ' if args.kv_quant else ''}1 chip)",
         "value": round(rtf, 2),
         "unit": "audio-sec/sec",
         "vs_baseline": round(rtf / 50.0, 3),

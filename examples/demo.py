@@ -7,10 +7,15 @@ real checkpoint (or let load_model download one) for real transcripts.
 """
 
 import argparse
+import os
+import sys
 
 import numpy as np
 
-import whisper_at_tpu as whisper
+# allow running straight from a source checkout: python examples/demo.py
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import whisper_at_tpu as whisper  # noqa: E402
 
 
 def main():
