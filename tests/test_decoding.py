@@ -206,3 +206,23 @@ def test_beam_search_batched(model, mel):
     for r in results:
         assert isinstance(r.tokens, list)
         assert np.isfinite(r.avg_logprob)
+
+
+def test_kv_quant_matches_bf16_path(model, mel):
+    """int8 cross-KV must reproduce the full-precision tokens on the test
+    model (per-position scales make the attention math exact up to int8
+    rounding of K/V)."""
+    r1 = decode(model, mel[0],
+                DecodingOptions(language="en", fp16=False, sample_len=20))
+    r2 = decode(model, mel[0],
+                DecodingOptions(language="en", fp16=False, sample_len=20,
+                                kv_quant=True))
+    assert r1.tokens == r2.tokens
+    assert abs(r1.avg_logprob - r2.avg_logprob) < 1e-3
+
+
+def test_kv_quant_beam(model, mel):
+    r = decode(model, mel[0],
+               DecodingOptions(language="en", fp16=False, sample_len=12,
+                               beam_size=2, kv_quant=True))
+    assert isinstance(r.tokens, list)

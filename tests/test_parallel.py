@@ -101,3 +101,35 @@ def test_graft_dryrun_entrypoint(devices_ok):
 
     graft.dryrun_multichip(8)
     graft.dryrun_multichip(4)
+
+
+def test_batched_transcribe_on_mesh(devices_ok):
+    """Multi-chip batched inference: dp-sharded windows must give the same
+    result as single-device execution."""
+    import whisper_at_tpu as wat
+    from whisper_at_tpu.models.dims import ModelDimensions
+    from whisper_at_tpu.models.whisper import Whisper
+
+    dims = ModelDimensions(
+        n_mels=80, n_audio_ctx=1500, n_audio_state=64, n_audio_head=4,
+        n_audio_layer=2, n_vocab=51865, n_text_ctx=448, n_text_head=4,
+        n_text_state=64, n_text_layer=2,
+    )
+    model = Whisper(dims, seed=11)
+    rng = np.random.default_rng(2)
+    audio = (0.2 * rng.standard_normal(16000 * 65)).astype(np.float32)
+
+    kwargs = dict(
+        language="en", fp16=False, temperature=0.0,
+        logprob_threshold=None, compression_ratio_threshold=None,
+        no_speech_threshold=None,
+    )
+    single = wat.transcribe_batched(model, audio, **kwargs)
+
+    mesh = make_mesh(n_devices=4, tp=1)
+    sharded = wat.transcribe_batched(model, audio, mesh=mesh, max_batch=4, **kwargs)
+
+    assert sharded["text"] == single["text"]
+    np.testing.assert_allclose(
+        sharded["audio_tag"], single["audio_tag"], atol=1e-4
+    )

@@ -361,10 +361,15 @@ def transcribe_batched(
     no_speech_threshold: Optional[float] = 0.6,
     at_time_res: float = 10,
     max_batch: int = 8,
+    mesh=None,
     verbose: Optional[bool] = None,
     **decode_options,
 ):
     """Batched long-audio transcription + tagging (the TPU fast path).
+
+    mesh: optional jax.sharding.Mesh — shards the window batch over the
+    mesh's 'dp' axis with replicated parameters (multi-chip scale-out; the
+    per-call max_batch should be a multiple of the dp size).
 
     Packs ALL 30 s windows of the file across the batch dimension: one mel
     pass, one batched encoder+tagging pass, and batched decoding — windows
@@ -415,6 +420,14 @@ def transcribe_batched(
     mel_padded = pad_or_trim(mel_device, total_needed)
     windows = mel_padded.T.reshape(n_windows, N_FRAMES, -1).transpose(0, 2, 1)
 
+    if mesh is not None:
+        from .parallel.inference import place_model_on_mesh
+
+        place_model_on_mesh(model, mesh)
+        dp = mesh.shape.get("dp", 1)
+        if max_batch % dp != 0:
+            max_batch = max(dp, (max_batch // dp) * dp)
+
     temperatures = (
         [temperature] if isinstance(temperature, (int, float)) else list(temperature)
     )
@@ -436,7 +449,19 @@ def transcribe_batched(
         dtask = DecodingTask(model, options)
         for start in range(0, len(pending), max_batch):
             chunk = pending[start : start + max_batch]
-            chunk_results = dtask.run(windows[jnp.asarray(chunk, jnp.int32)])
+            padded_chunk = list(chunk)
+            if mesh is not None:
+                from .parallel.inference import shard_windows
+
+                dp = mesh.shape.get("dp", 1)
+                while len(padded_chunk) % dp != 0:
+                    padded_chunk.append(chunk[-1])  # duplicate; extras dropped
+                chunk_windows = shard_windows(
+                    mesh, windows[jnp.asarray(padded_chunk, jnp.int32)]
+                )
+            else:
+                chunk_windows = windows[jnp.asarray(padded_chunk, jnp.int32)]
+            chunk_results = dtask.run(chunk_windows)
             for w, r in zip(chunk, chunk_results):
                 results[w] = r
 
