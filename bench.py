@@ -30,6 +30,8 @@ def main():
                         help="int8-quantize the cross-attention KV (default on; "
                              "exact-token parity on test models)")
     parser.add_argument("--no-kv-quant", dest="kv_quant", action="store_false")
+    parser.add_argument("--weight-quant", action="store_true",
+                        help="int8-quantize the decoder matmul weights")
     args = parser.parse_args()
 
     import jax
@@ -63,6 +65,7 @@ def main():
             compression_ratio_threshold=None,
             no_speech_threshold=None,
             kv_quant=args.kv_quant,
+            weight_quant=args.weight_quant,
         )
 
     # warmup (compiles the mel kernel, encoder, prefill, and decode loop)
@@ -79,7 +82,8 @@ def main():
     print(json.dumps({
         "metric": f"{args.size} batched transcribe+tag throughput "
                   f"({args.tokens} tok/30s-window, batch {args.batch}, "
-                  f"{'int8 cross-KV, ' if args.kv_quant else ''}1 chip)",
+                  f"{'int8 cross-KV, ' if args.kv_quant else ''}"
+                  f"{'int8 weights, ' if args.weight_quant else ''}1 chip)",
         "value": round(rtf, 2),
         "unit": "audio-sec/sec",
         "vs_baseline": round(rtf / 50.0, 3),

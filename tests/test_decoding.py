@@ -226,3 +226,15 @@ def test_kv_quant_beam(model, mel):
                DecodingOptions(language="en", fp16=False, sample_len=12,
                                beam_size=2, kv_quant=True))
     assert isinstance(r.tokens, list)
+
+
+def test_weight_quant_matches_fp_path(model, mel):
+    """int8 decoder weights (per-output-channel scales) must reproduce the
+    full-precision tokens on the test model."""
+    r1 = decode(model, mel[0],
+                DecodingOptions(language="en", fp16=False, sample_len=16))
+    r2 = decode(model, mel[0],
+                DecodingOptions(language="en", fp16=False, sample_len=16,
+                                weight_quant=True))
+    assert r1.tokens == r2.tokens
+    assert abs(r1.avg_logprob - r2.avg_logprob) < 5e-3

@@ -70,6 +70,9 @@ class DecodingOptions:
     # HBM stream; per-position scales keep the attention math exact up to
     # int8 rounding of K/V). Off by default pending real-checkpoint parity.
     kv_quant: bool = False
+    # int8-quantize the decoder matmul weights (per-output-channel scales);
+    # halves the weight stream. Off by default pending real-checkpoint parity.
+    weight_quant: bool = False
 
 
 @dataclass(frozen=False)
@@ -696,8 +699,9 @@ class DecodingTask:
         else:
             audio_features_rep = audio_features
 
+        dec_params = self.model.decoder_params_decode(options.weight_quant)
         cross_k, cross_v = precompute_cross_kv(
-            self.model.decoder_params_fused, audio_features_rep,
+            dec_params, audio_features_rep,
             self.model.dims.n_text_head, compute_dtype,
             quantize=options.kv_quant,
         )
@@ -706,11 +710,11 @@ class DecodingTask:
             return self._run_beam(
                 mel, buf, pad, prefill, total, max_steps,
                 cross_k, cross_v, compute_dtype,
-                audio_features, at_features, languages,
+                audio_features, at_features, languages, dec_params,
             )
 
         buf_out, sum_lp, no_speech_probs, n_steps = greedy_sample_loop(
-            self.model.decoder_params_fused,
+            dec_params,
             cross_k,
             cross_v,
             buf,
@@ -781,7 +785,7 @@ class DecodingTask:
     def _run_beam(
         self, mel, buf, pad, prefill, total, max_steps,
         cross_k, cross_v, compute_dtype,
-        audio_features, at_features, languages,
+        audio_features, at_features, languages, dec_params,
     ) -> List[DecodingResult]:
         options = self.options
         tokenizer = self.tokenizer
@@ -795,7 +799,7 @@ class DecodingTask:
 
         fin_tokens, fin_scores, fin_count, beams, beam_lp, nsp, n_steps = (
             beam_sample_loop(
-                self.model.decoder_params_fused,
+                dec_params,
                 cross_k,
                 cross_v,
                 buf,

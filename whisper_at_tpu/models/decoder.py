@@ -79,6 +79,34 @@ def fuse_decoder_blocks(params: dict) -> dict:
     return out
 
 
+def quantize_decoder_blocks(fused_params: dict) -> dict:
+    """int8-quantize the decoder block matmul weights (per-output-channel
+    symmetric scales; see layers.quantize_linear). Halves the ~1.7 GB/token
+    weight stream of large-v1's decode loop. Opt-in
+    (DecodingOptions.weight_quant); cross-attn key/value projections stay
+    full precision since their output feeds the (optionally separately
+    quantized) KV cache."""
+    from .layers import quantize_linear
+
+    blocks = dict(fused_params["blocks"])
+    attn = dict(blocks["attn"])
+    attn["qkv"] = {**quantize_linear(attn["qkv"]), "b": attn["qkv"]["b"]}
+    attn["out"] = quantize_linear(attn["out"])
+    blocks["attn"] = attn
+    cross = dict(blocks["cross_attn"])
+    cross["query"] = quantize_linear(cross["query"])
+    cross["out"] = quantize_linear(cross["out"])
+    blocks["cross_attn"] = cross
+    mlp_p = dict(blocks["mlp"])
+    mlp_p["fc1"] = quantize_linear(mlp_p["fc1"])
+    mlp_p["fc2"] = quantize_linear(mlp_p["fc2"])
+    blocks["mlp"] = mlp_p
+
+    out = dict(fused_params)
+    out["blocks"] = blocks
+    return out
+
+
 def init_cache(
     n_layer: int, batch: int, n_ctx: int, n_state: int, dtype, n_head: int
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -54,12 +54,39 @@ def layer_norm(params: dict, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def linear(params: dict, x: jnp.ndarray) -> jnp.ndarray:
-    """y = x @ w + b with w stored [in, out]; weights cast to x.dtype."""
-    w = params["w"].astype(x.dtype)
-    y = jnp.matmul(x, w, precision=matmul_precision(x.dtype))
+    """y = x @ w + b with w stored [in, out]; weights cast to x.dtype.
+
+    Also accepts int8-quantized weights {"w_q": int8 [in, out],
+    "w_s": fp32 [1, out]} (per-output-channel symmetric scales): the dequant
+    folds into the matmul epilogue, so HBM reads halve.
+    """
+    if "w_q" in params:
+        y = jnp.matmul(
+            x, params["w_q"].astype(x.dtype), precision=matmul_precision(x.dtype)
+        )
+        y = y * params["w_s"].astype(x.dtype)
+    else:
+        w = params["w"].astype(x.dtype)
+        y = jnp.matmul(x, w, precision=matmul_precision(x.dtype))
     if "b" in params:
         y = y + params["b"].astype(x.dtype)
     return y
+
+
+def quantize_linear(params: dict) -> dict:
+    """Symmetric per-output-channel int8 quantization of a linear layer.
+
+    Works on both single [in, out] and layer-stacked [L, in, out] weights:
+    the reduction is over the `in` axis (axis=-2), giving [.., 1, out] scales.
+    """
+    w = params["w"].astype(jnp.float32)
+    amax = jnp.max(jnp.abs(w), axis=-2, keepdims=True)
+    scale = amax / 127.0 + 1e-12
+    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    out = {"w_q": q, "w_s": scale}
+    if "b" in params:
+        out["b"] = params["b"]
+    return out
 
 
 def _split_heads(x: jnp.ndarray, n_head: int) -> jnp.ndarray:

@@ -17,6 +17,7 @@ from .at_head import at_head_apply, at_window_geometry, init_at_head
 from .decoder import (
     decoder_forward,
     fuse_decoder_blocks,
+    quantize_decoder_blocks,
     init_cache,
     init_decoder,
     precompute_cross_kv,
@@ -68,6 +69,7 @@ class Whisper:
             }
         self.params = params
         self._decoder_fused = None
+        self._decoder_fused_q = None
 
     @property
     def decoder_params_fused(self) -> dict:
@@ -79,6 +81,14 @@ class Whisper:
         if self._decoder_fused is None:
             self._decoder_fused = fuse_decoder_blocks(self.params["decoder"])
         return self._decoder_fused
+
+    def decoder_params_decode(self, weight_quant: bool = False) -> dict:
+        """Decode-path decoder params: fused, optionally int8-weight-quantized."""
+        if not weight_quant:
+            return self.decoder_params_fused
+        if self._decoder_fused_q is None:
+            self._decoder_fused_q = quantize_decoder_blocks(self.decoder_params_fused)
+        return self._decoder_fused_q
 
     # ------------------------------------------------------------------ #
     @property
