@@ -19,8 +19,20 @@ import time
 import numpy as np
 
 
+# BASELINE.json config presets (driver configs 1-5)
+CONFIGS = {
+    "tiny-single": dict(size="tiny", batch=1, tokens=48),
+    "base-10min": dict(size="base", batch=8, tokens=96),
+    "small-low": dict(size="small", batch=8, tokens=96, at_low=True),
+    "medium-translate": dict(size="medium", batch=8, tokens=96, task="translate"),
+    "large-beam": dict(size="large-v1", batch=4, tokens=96, beam=5),
+}
+
+
 def main():
     parser = argparse.ArgumentParser()
+    parser.add_argument("--config", choices=sorted(CONFIGS), default=None,
+                        help="BASELINE.json config preset")
     parser.add_argument("--size", default="large-v1")
     parser.add_argument("--batch", type=int, default=8, help="30 s windows per batch")
     parser.add_argument("--tokens", type=int, default=96, help="decode steps per window")
@@ -34,13 +46,20 @@ def main():
                         help="int8-quantize the decoder matmul weights")
     args = parser.parse_args()
 
+    preset = CONFIGS.get(args.config, {})
+    if preset:
+        args.size = preset["size"]
+        args.batch = preset["batch"]
+        args.tokens = preset["tokens"]
+
     import jax
     import jax.numpy as jnp
 
     import whisper_at_tpu as wat
 
     dtype = jnp.float32 if args.fp32 else jnp.bfloat16
-    model = wat.build_model(args.size, storage_dtype=dtype, seed=0)
+    model = wat.build_model(args.size, storage_dtype=dtype, seed=0,
+                            at_low_compute=preset.get("at_low", False))
 
     audio_seconds = args.batch * 30
     rng = np.random.default_rng(0)
@@ -53,11 +72,17 @@ def main():
     def pipeline():
         # the public batched long-audio path: mel -> batched encode+tag ->
         # batched greedy decode -> segments
+        extra = {}
+        if preset.get("task"):
+            extra["task"] = preset["task"]
+        if preset.get("beam"):
+            extra["beam_size"] = preset["beam"]
         return transcribe_batched(
             model,
             audio,
             language="en",
             temperature=0.0,
+            **extra,
             sample_len=args.tokens,
             fp16=not args.fp32,
             max_batch=args.batch,

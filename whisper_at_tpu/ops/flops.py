@@ -86,3 +86,20 @@ def count_parameters(params) -> int:
     import jax
 
     return sum(int(x.size) for x in jax.tree.leaves(params))
+
+
+def _cli():
+    """Report AT FLOPs overhead for every model size (the reference's
+    utilities/compute_flops.py analysis)."""
+    from ..models.dims import dims_for
+
+    for name in ("tiny", "base", "small", "medium", "large-v1"):
+        dims = dims_for(name)
+        full = at_overhead(dims, "tl_tr_1_8")
+        low = at_overhead(dims, "tl_down_tr_512_1_8")
+        print(f"{name:9s} TL-TR {100*full['at_overhead_ratio']:.2f}%  "
+              f"TL-TR-512 {100*low['at_overhead_ratio']:.2f}%")
+
+
+if __name__ == "__main__":
+    _cli()
