@@ -42,8 +42,11 @@ def main():
                         help="int8-quantize the cross-attention KV (default on; "
                              "exact-token parity on test models)")
     parser.add_argument("--no-kv-quant", dest="kv_quant", action="store_false")
-    parser.add_argument("--weight-quant", action="store_true",
-                        help="int8-quantize the decoder matmul weights")
+    parser.add_argument("--weight-quant", action="store_true", default=True,
+                        help="int8-quantize the decoder matmul weights "
+                             "(default on; token parity on test models)")
+    parser.add_argument("--no-weight-quant", dest="weight_quant",
+                        action="store_false")
     args = parser.parse_args()
 
     preset = CONFIGS.get(args.config, {})

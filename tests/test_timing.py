@@ -157,3 +157,35 @@ def test_pallas_dtw_matches_numpy():
     for shape in [(5, 9), (20, 47), (33, 14)]:
         x = rng.standard_normal(shape)
         np.testing.assert_array_equal(dtw(x), dtw_pallas(x, interpret=True))
+
+
+def test_fused_mlp_matches_reference():
+    """The pallas fused-MLP kernel (interpret mode) must match the XLA MLP,
+    for both bf16 and int8 weights."""
+    import jax
+
+    from whisper_at_tpu.models.layers import init_linear, linear, mlp, quantize_linear
+    from whisper_at_tpu.ops.fused_mlp import fused_mlp
+
+    key = jax.random.PRNGKey(0)
+    d, h4, b = 256, 1024, 8
+    params = {
+        "fc1": init_linear(key, d, h4),
+        "fc2": init_linear(jax.random.PRNGKey(1), h4, d),
+    }
+    x = jax.random.normal(jax.random.PRNGKey(2), (b, d)) * 0.5
+    out = fused_mlp(x, params, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(mlp(params, x)), atol=2e-5
+    )
+
+    qparams = {
+        "fc1": quantize_linear(params["fc1"]),
+        "fc2": quantize_linear(params["fc2"]),
+    }
+    ref_q = linear(
+        qparams["fc2"],
+        jax.nn.gelu(linear(qparams["fc1"], x), approximate=False),
+    )
+    out_q = fused_mlp(x, qparams, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_q), np.asarray(ref_q), atol=2e-5)
