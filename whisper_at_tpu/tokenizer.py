@@ -14,51 +14,7 @@ from functools import cached_property, lru_cache
 from typing import Dict, List, Optional, Tuple
 
 from .bpe import Encoding, load_ranks
-
-LANGUAGES = {
-    "en": "english", "zh": "chinese", "de": "german", "es": "spanish",
-    "ru": "russian", "ko": "korean", "fr": "french", "ja": "japanese",
-    "pt": "portuguese", "tr": "turkish", "pl": "polish", "ca": "catalan",
-    "nl": "dutch", "ar": "arabic", "sv": "swedish", "it": "italian",
-    "id": "indonesian", "hi": "hindi", "fi": "finnish", "vi": "vietnamese",
-    "he": "hebrew", "uk": "ukrainian", "el": "greek", "ms": "malay",
-    "cs": "czech", "ro": "romanian", "da": "danish", "hu": "hungarian",
-    "ta": "tamil", "no": "norwegian", "th": "thai", "ur": "urdu",
-    "hr": "croatian", "bg": "bulgarian", "lt": "lithuanian", "la": "latin",
-    "mi": "maori", "ml": "malayalam", "cy": "welsh", "sk": "slovak",
-    "te": "telugu", "fa": "persian", "lv": "latvian", "bn": "bengali",
-    "sr": "serbian", "az": "azerbaijani", "sl": "slovenian", "kn": "kannada",
-    "et": "estonian", "mk": "macedonian", "br": "breton", "eu": "basque",
-    "is": "icelandic", "hy": "armenian", "ne": "nepali", "mn": "mongolian",
-    "bs": "bosnian", "kk": "kazakh", "sq": "albanian", "sw": "swahili",
-    "gl": "galician", "mr": "marathi", "pa": "punjabi", "si": "sinhala",
-    "km": "khmer", "sn": "shona", "yo": "yoruba", "so": "somali",
-    "af": "afrikaans", "oc": "occitan", "ka": "georgian", "be": "belarusian",
-    "tg": "tajik", "sd": "sindhi", "gu": "gujarati", "am": "amharic",
-    "yi": "yiddish", "lo": "lao", "uz": "uzbek", "fo": "faroese",
-    "ht": "haitian creole", "ps": "pashto", "tk": "turkmen", "nn": "nynorsk",
-    "mt": "maltese", "sa": "sanskrit", "lb": "luxembourgish", "my": "myanmar",
-    "bo": "tibetan", "tl": "tagalog", "mg": "malagasy", "as": "assamese",
-    "tt": "tatar", "haw": "hawaiian", "ln": "lingala", "ha": "hausa",
-    "ba": "bashkir", "jw": "javanese", "su": "sundanese",
-}
-
-# language code lookup by name, with a few aliases
-TO_LANGUAGE_CODE = {
-    **{language: code for code, language in LANGUAGES.items()},
-    "burmese": "my",
-    "valencian": "ca",
-    "flemish": "nl",
-    "haitian": "ht",
-    "letzeburgesch": "lb",
-    "pushto": "ps",
-    "panjabi": "pa",
-    "moldavian": "ro",
-    "moldovan": "ro",
-    "sinhalese": "si",
-    "castilian": "es",
-}
-
+from .languages import LANGUAGES, TO_LANGUAGE_CODE
 
 @dataclass
 class Tokenizer:
@@ -97,41 +53,28 @@ class Tokenizer:
         """Decode including timestamp/special annotations like "<|1.08|>"."""
         return self.encoding.decode(token_ids, **kwargs)
 
+    # special-token accessors (tokenizer.eot, .sot, .timestamp_begin, ...)
+    # resolve through this table via __getattr__
+    _SPECIAL_ATTRS = {
+        "transcribe": "<|transcribe|>",
+        "translate": "<|translate|>",
+        "sot": "<|startoftranscript|>",
+        "sot_lm": "<|startoflm|>",
+        "sot_prev": "<|startofprev|>",
+        "no_speech": "<|nospeech|>",
+        "no_timestamps": "<|notimestamps|>",
+        "timestamp_begin": "<|0.00|>",
+    }
+
+    def __getattr__(self, name: str) -> int:
+        token = type(self)._SPECIAL_ATTRS.get(name)
+        if token is not None:
+            return self.special_tokens[token]
+        raise AttributeError(name)
+
     @cached_property
     def eot(self) -> int:
         return self.encoding.eot_token
-
-    @cached_property
-    def transcribe(self) -> int:
-        return self.special_tokens["<|transcribe|>"]
-
-    @cached_property
-    def translate(self) -> int:
-        return self.special_tokens["<|translate|>"]
-
-    @cached_property
-    def sot(self) -> int:
-        return self.special_tokens["<|startoftranscript|>"]
-
-    @cached_property
-    def sot_lm(self) -> int:
-        return self.special_tokens["<|startoflm|>"]
-
-    @cached_property
-    def sot_prev(self) -> int:
-        return self.special_tokens["<|startofprev|>"]
-
-    @cached_property
-    def no_speech(self) -> int:
-        return self.special_tokens["<|nospeech|>"]
-
-    @cached_property
-    def no_timestamps(self) -> int:
-        return self.special_tokens["<|notimestamps|>"]
-
-    @cached_property
-    def timestamp_begin(self) -> int:
-        return self.special_tokens["<|0.00|>"]
 
     @cached_property
     def language_token(self) -> int:
