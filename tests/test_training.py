@@ -256,3 +256,39 @@ def test_end_to_end_training_learns(tiny_dataset, tmp_path):
     eval_step = make_eval_step(mode, jnp.float32)
     stats, _ = validate(eval_step, averaged, val_loader)
     assert mean_average_precision(stats) > 0.5
+
+
+def test_training_resume(tiny_dataset, tmp_path):
+    """--resume must continue from the last saved epoch with restored
+    optimizer state (the reference cannot resume at all)."""
+    from whisper_at_tpu.train.loop import latest_resumable_epoch
+
+    ds_conf = {"freqm": 0, "timem": 0, "mixup": 0, "dataset": "tiny",
+               "label_smooth": 0.0, "tar_path": str(tiny_dataset["feat_dir"])}
+    ds = FeatureDataset(
+        tiny_dataset["train_json"], ds_conf, label_csv=tiny_dataset["label_csv"]
+    )
+    loader = DataLoader(ds, batch_size=8, shuffle=True, num_workers=2)
+    val_loader = DataLoader(ds, batch_size=8, num_workers=2)
+
+    mode = "lw_tr_1_4"
+    exp_dir = str(tmp_path / "exp_resume")
+    params = init_tltr(
+        jax.random.PRNGKey(0), label_dim=8, n_layer=3, rep_dim=24, mode=mode
+    )
+    train(params, mode, loader, val_loader, exp_dir=exp_dir, lr=5e-3,
+          n_epochs=2, dataset="tiny", compute_dtype=jnp.float32,
+          n_print_steps=1000)
+    assert latest_resumable_epoch(exp_dir) == 2
+
+    # resume for a third epoch from the saved state
+    fresh = init_tltr(
+        jax.random.PRNGKey(99), label_dim=8, n_layer=3, rep_dim=24, mode=mode
+    )
+    train(fresh, mode, loader, val_loader, exp_dir=exp_dir, lr=5e-3,
+          n_epochs=3, dataset="tiny", compute_dtype=jnp.float32,
+          n_print_steps=1000, resume=True)
+    result = np.loadtxt(os.path.join(exp_dir, "result.csv"), delimiter=",")
+    # rows 1-3 all populated; resumed row continues learning
+    assert (result[:3, 1] > 0).all()
+    assert result[2, 1] > 0.3

@@ -99,6 +99,42 @@ def validate(eval_step, params, val_loader, loss_fn=None):
     return stats, loss
 
 
+def _save_train_state(path: str, opt_state, scheduler_scale: float, epoch: int):
+    """Serialize the optimizer pytree + scheduler scale for mid-run resume
+    (the reference has no resume at all — SURVEY §5)."""
+    leaves = jax.tree.leaves(opt_state)
+    arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    arrays["__scale__"] = np.asarray(scheduler_scale)
+    arrays["__epoch__"] = np.asarray(epoch)
+    np.savez(path, **arrays)
+
+
+def _load_train_state(path: str, opt_state_template):
+    with np.load(path) as data:
+        leaves = [data[f"leaf_{i}"] for i in range(len(jax.tree.leaves(opt_state_template)))]
+        scale = float(data["__scale__"])
+        epoch = int(data["__epoch__"])
+    treedef = jax.tree.structure(opt_state_template)
+    opt_state = jax.tree.unflatten(
+        treedef, [jnp.asarray(x) for x in leaves]
+    )
+    return opt_state, scale, epoch
+
+
+def latest_resumable_epoch(exp_dir: str) -> int:
+    """Highest epoch with both a model checkpoint and a train-state file."""
+    epoch = 0
+    models_dir = os.path.join(exp_dir, "models")
+    if not os.path.isdir(models_dir):
+        return 0
+    for name in os.listdir(models_dir):
+        if name.startswith("train_state.") and name.endswith(".npz"):
+            n = int(name.split(".")[1])
+            if os.path.exists(os.path.join(models_dir, f"audio_model.{n}.npz")):
+                epoch = max(epoch, n)
+    return epoch
+
+
 def train(
     params: dict,
     mode: str,
@@ -121,6 +157,7 @@ def train(
     n_print_steps: int = 100,
     compute_dtype=jnp.bfloat16,
     n_class_sonyc: Optional[int] = None,
+    resume: bool = False,
 ) -> dict:
     """Train the TL-TR head; returns the final params.
 
@@ -171,7 +208,28 @@ def train(
     start_time = time.time()
     result = np.zeros([n_epochs, 4])
 
-    for epoch in range(1, n_epochs + 1):
+    start_epoch = 1
+    if resume:
+        last = latest_resumable_epoch(exp_dir)
+        if last > 0:
+            _, params = load_params(
+                os.path.join(exp_dir, "models", f"audio_model.{last}.npz")
+            )
+            import jax as _jax
+
+            params = _jax.tree.map(jnp.asarray, params)
+            opt_state, scheduler.scale, _ = _load_train_state(
+                os.path.join(exp_dir, "models", f"train_state.{last}.npz"),
+                opt_state,
+            )
+            if hasattr(scheduler, "epoch"):
+                scheduler.epoch = last
+            start_epoch = last + 1
+            prev = np.loadtxt(os.path.join(exp_dir, "result.csv"), delimiter=",")
+            result[: min(last, n_epochs)] = np.atleast_2d(prev)[: min(last, n_epochs)]
+            print(f"resuming from epoch {last}")
+
+    for epoch in range(start_epoch, n_epochs + 1):
         begin_time = time.time()
         end_time = time.time()
         n_batches = len(train_loader)
@@ -249,6 +307,10 @@ def train(
         if save_model:
             save_params(
                 os.path.join(exp_dir, "models", f"audio_model.{epoch}.npz"), params
+            )
+            _save_train_state(
+                os.path.join(exp_dir, "models", f"train_state.{epoch}.npz"),
+                opt_state, scheduler.scale, epoch,
             )
 
         scheduler.step(mAP if metrics_name == "mAP" else acc)

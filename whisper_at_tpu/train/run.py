@@ -66,6 +66,8 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--wa_end", type=int, default=30)
     parser.add_argument("--pretrained_model", type=str, default=None, help="pretrained head checkpoint (.npz)")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--resume", type=lambda s: s == "True", default=False,
+                        help="resume from the last saved epoch in exp-dir")
     # fmt: on
     return parser
 
@@ -187,6 +189,7 @@ def main(argv=None):
         save_model=args.save_model,
         n_print_steps=args.n_print_steps,
         n_class_sonyc=args.n_class if args.n_class > 527 else None,
+        resume=args.resume,
     )
 
     if args.wa:
