@@ -174,6 +174,17 @@ class Whisper:
         audio_features, _ = self.embed_audio(mel)
         return self.logits(tokens, audio_features)
 
+    def install_kv_cache_hooks(self, cache=None):
+        """API-parity stub for the reference's hook-based cache
+        (whisper_at/model.py:283-314). This framework threads the KV cache
+        functionally through the jitted decode loop instead — there is no
+        mutable module state to hook."""
+        raise NotImplementedError(
+            "whisper_at_tpu uses a functional KV cache inside the jitted "
+            "decode loop (models/decoder.py); hooks do not exist. Use "
+            "decode()/transcribe(), or decoder_forward() for custom loops."
+        )
+
     # bound in __init__.py to avoid circular imports:
     #   detect_language / decode / transcribe
 
