@@ -121,3 +121,16 @@ def test_encode_with_allowed_special(multilingual):
     assert ids[0] == multilingual.sot
     assert ids[1] == multilingual.special_tokens["<|en|>"]
     assert multilingual.decode_with_timestamps(ids) == text
+
+
+def test_language_module_and_registry():
+    """The split-out data modules keep the spec constants intact."""
+    from whisper_at_tpu.languages import LANGUAGES as L2, TO_LANGUAGE_CODE as T2
+    from whisper_at_tpu.registry import _ALIGNMENT_HEADS, _MODELS, _MODELS_AT
+
+    assert len(L2) == 99
+    assert T2["castilian"] == "es"
+    assert set(_MODELS) == set(_ALIGNMENT_HEADS)
+    # every model has an AT head checkpoint; low variants for small+
+    assert all(name in _MODELS_AT for name in _MODELS)
+    assert "large-v1_low" in _MODELS_AT and "tiny_low" not in _MODELS_AT
