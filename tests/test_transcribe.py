@@ -197,3 +197,16 @@ def test_transcribe_batched_tags_match_sequential(model, audio_45s, result):
     np.testing.assert_allclose(
         batched["audio_tag"][0], result["audio_tag"][0], atol=2e-3
     )
+
+
+def test_transcribe_batched_short_audio(model):
+    """Sub-30s audio: single window, single tag row."""
+    rng = np.random.default_rng(9)
+    audio = (0.2 * rng.standard_normal(16000 * 5)).astype(np.float32)
+    result = wat.transcribe_batched(
+        model, audio, language="en", fp16=False, temperature=0.0,
+        logprob_threshold=None, compression_ratio_threshold=None,
+        no_speech_threshold=None,
+    )
+    assert result["audio_tag"].shape == (1, 527)
+    assert isinstance(result["text"], str)
