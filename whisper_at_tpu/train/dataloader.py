@@ -239,10 +239,8 @@ class DataLoader:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
 
         def producer():
-            # each worker thread handles a strided shard of batches, posting
+            # workers pull batch indices from a shared counter, posting
             # (batch_idx, data) so the consumer can reassemble in order
-            local = {}
-
             def load_batch(b):
                 batch_rng = np.random.default_rng((self.seed, self._epoch, b))
                 rows = indices[b * self.batch_size : (b + 1) * self.batch_size]
@@ -273,7 +271,6 @@ class DataLoader:
             for t in threads:
                 t.join()
             out_q.put((None, None))
-            return local
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()

@@ -7,9 +7,7 @@ threading. Device work (mel, encoder, decode loop, TL-TR head) happens inside
 the jitted functions invoked per window.
 """
 
-import argparse
 import math
-import os
 import warnings
 from typing import List, Optional, Tuple, Union
 
@@ -27,16 +25,8 @@ from .audio import (
     pad_or_trim,
 )
 from .decoding import DecodingOptions, DecodingResult
-from .tokenizer import LANGUAGES, TO_LANGUAGE_CODE, get_tokenizer
-from .utils import (
-    exact_div,
-    format_timestamp,
-    get_writer,
-    make_safe,
-    optional_float,
-    optional_int,
-    str2bool,
-)
+from .tokenizer import LANGUAGES, get_tokenizer
+from .utils import exact_div, format_timestamp, make_safe
 
 
 def transcribe(
