@@ -238,3 +238,25 @@ def test_weight_quant_matches_fp_path(model, mel):
                                 weight_quant=True))
     assert r1.tokens == r2.tokens
     assert abs(r1.avg_logprob - r2.avg_logprob) < 5e-3
+
+
+def test_beam_patience_matches_oracle(model, mel):
+    """Patience > 1 grows the finished-candidate pool (arxiv:2204.05424);
+    the tensorized finished-buffer must reproduce the dict bookkeeping."""
+    options = DecodingOptions(
+        language="en", beam_size=2, patience=2.0, fp16=False, sample_len=16
+    )
+    task = DecodingTask(model, options)
+    result = task.run(mel[1:2])[0]
+
+    audio_features, _ = model.embed_audio(mel[1:2], fp16=False)
+    golden = oracle_decode.beam_decode_oracle(
+        model, audio_features, task.initial_tokens, task.tokenizer,
+        task._get_suppress_tokens(), sample_len=16, beam_size=2, patience=2.0,
+        max_initial_ts_index=task.max_initial_ts_index,
+    )
+    best = max(golden, key=lambda x: x[1] / (len(x[0]) + 1))
+    assert result.tokens == best[0]
+    np.testing.assert_allclose(
+        result.avg_logprob, best[1] / (len(best[0]) + 1), rtol=1e-3, atol=1e-3
+    )
