@@ -210,3 +210,17 @@ def test_transcribe_batched_short_audio(model):
     )
     assert result["audio_tag"].shape == (1, 527)
     assert isinstance(result["text"], str)
+
+
+def test_transcribe_batched_word_timestamps_and_prompt(model, audio_45s):
+    result = wat.transcribe_batched(
+        model, audio_45s[: 16000 * 8],
+        language="en", fp16=False, temperature=0.0,
+        word_timestamps=True, initial_prompt="context words",
+        logprob_threshold=None, compression_ratio_threshold=None,
+        no_speech_threshold=None,
+    )
+    assert all("words" in seg for seg in result["segments"])
+    for seg in result["segments"]:
+        for word in seg["words"]:
+            assert word["end"] >= word["start"]

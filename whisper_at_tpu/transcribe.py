@@ -352,6 +352,10 @@ def transcribe_batched(
     at_time_res: float = 10,
     max_batch: int = 8,
     mesh=None,
+    initial_prompt: Optional[str] = None,
+    word_timestamps: bool = False,
+    prepend_punctuations: str = "\"'“¿([{-",
+    append_punctuations: str = "\"'.。,，!！?？:：”)]}、",
     verbose: Optional[bool] = None,
     **decode_options,
 ):
@@ -360,6 +364,11 @@ def transcribe_batched(
     mesh: optional jax.sharding.Mesh — shards the window batch over the
     mesh's 'dp' axis with replicated parameters (multi-chip scale-out; the
     per-call max_batch should be a multiple of the dp size).
+    initial_prompt: prompt context applied to EVERY window (windows decode
+    in parallel, so unlike the sequential path it cannot thread each
+    window's output into the next).
+    word_timestamps: add per-word timings to every segment via the
+    cross-attention DTW alignment (one extra device pass per window).
 
     Packs ALL 30 s windows of the file across the batch dimension: one mel
     pass, one batched encoder+tagging pass, and batched decoding — windows
@@ -423,6 +432,9 @@ def transcribe_batched(
     )
 
     from .decoding import DecodingOptions, DecodingTask
+
+    if initial_prompt is not None:
+        decode_options["prompt"] = tokenizer.encode(" " + initial_prompt.strip())
 
     results = [None] * n_windows
     pending = list(range(n_windows))
@@ -504,7 +516,10 @@ def transcribe_batched(
     time_precision = input_stride * HOP_LENGTH / SAMPLE_RATE
     all_segments: List[dict] = []
     all_tokens: List[int] = []
-    for w, result in enumerate(results):
+    window_iter = tqdm.tqdm(
+        list(enumerate(results)), unit="win", disable=verbose is not False
+    )
+    for w, result in window_iter:
         seek = w * N_FRAMES
         time_offset = float(seek * HOP_LENGTH / SAMPLE_RATE)
         segment_size = min(N_FRAMES, content_frames - seek)
@@ -548,14 +563,15 @@ def transcribe_batched(
                 (time_offset, time_offset + duration, tokens)
             )
 
+        current_segments = []
         for start, end, seg_tokens in window_segments:
             seg_tokens = [int(tk) for tk in seg_tokens]
             text_tokens = [tk for tk in seg_tokens if tk < tokenizer.eot]
             text = tokenizer.decode(text_tokens)
             if start == end or text.strip() == "":
                 continue
-            all_segments.append({
-                "id": len(all_segments),
+            current_segments.append({
+                "id": 0,  # renumbered below
                 "seek": seek,
                 "start": start,
                 "end": end,
@@ -567,6 +583,23 @@ def transcribe_batched(
                 "no_speech_prob": result.no_speech_prob,
             })
             all_tokens.extend(seg_tokens)
+
+        if word_timestamps and current_segments:
+            from .timing import add_word_timestamps
+
+            add_word_timestamps(
+                segments=current_segments,
+                model=model,
+                tokenizer=tokenizer,
+                mel=windows[w],
+                num_frames=segment_size,
+                prepend_punctuations=prepend_punctuations,
+                append_punctuations=append_punctuations,
+            )
+
+        for segment in current_segments:
+            segment["id"] = len(all_segments)
+            all_segments.append(segment)
 
     return dict(
         text=tokenizer.decode(all_tokens),
