@@ -6,10 +6,8 @@ Drop-in public API parity with the reference `whisper_at` package
 `build_model` for random-initialized models of any official size.
 """
 
-import io
 import os
 import urllib
-import warnings
 from typing import List, Optional, Union
 
 import jax.numpy as jnp

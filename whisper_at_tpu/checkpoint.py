@@ -13,7 +13,6 @@ Native checkpoints are plain .npz flatten/unflatten of the same pytree.
 """
 
 import io
-import os
 from typing import Dict, Optional, Tuple
 
 import jax.numpy as jnp
@@ -251,14 +250,18 @@ def export_torch_state_dict(params: dict, at_low_compute: bool = False) -> Dict:
 
     sd: Dict = {}
 
+    def _t_copy(x):
+        # contiguous owned copy: torch warns on non-writable numpy views
+        return torch.from_numpy(np.ascontiguousarray(np.asarray(x, np.float32)))
+
     def put_linear(prefix, p):
-        sd[f"{prefix}.weight"] = torch.from_numpy(np.asarray(p["w"], np.float32).T)
+        sd[f"{prefix}.weight"] = _t_copy(np.asarray(p["w"], np.float32).T)
         if "b" in p:
-            sd[f"{prefix}.bias"] = torch.from_numpy(np.asarray(p["b"], np.float32))
+            sd[f"{prefix}.bias"] = _t_copy(p["b"])
 
     def put_ln(prefix, p):
-        sd[f"{prefix}.weight"] = torch.from_numpy(np.asarray(p["scale"], np.float32))
-        sd[f"{prefix}.bias"] = torch.from_numpy(np.asarray(p["bias"], np.float32))
+        sd[f"{prefix}.weight"] = _t_copy(p["scale"])
+        sd[f"{prefix}.bias"] = _t_copy(p["bias"])
 
     def put_block(prefix, p, cross):
         for name in ("query", "key", "value", "out"):
@@ -275,17 +278,15 @@ def export_torch_state_dict(params: dict, at_low_compute: bool = False) -> Dict:
     import jax
 
     enc = params["encoder"]
-    sd["encoder.conv1.weight"] = torch.from_numpy(
+    sd["encoder.conv1.weight"] = _t_copy(
         np.asarray(enc["conv1"]["w"], np.float32).transpose(2, 1, 0)
     )
-    sd["encoder.conv1.bias"] = torch.from_numpy(np.asarray(enc["conv1"]["b"], np.float32))
-    sd["encoder.conv2.weight"] = torch.from_numpy(
+    sd["encoder.conv1.bias"] = _t_copy(enc["conv1"]["b"])
+    sd["encoder.conv2.weight"] = _t_copy(
         np.asarray(enc["conv2"]["w"], np.float32).transpose(2, 1, 0)
     )
-    sd["encoder.conv2.bias"] = torch.from_numpy(np.asarray(enc["conv2"]["b"], np.float32))
-    sd["encoder.positional_embedding"] = torch.from_numpy(
-        np.asarray(enc["positional_embedding"], np.float32)
-    )
+    sd["encoder.conv2.bias"] = _t_copy(enc["conv2"]["b"])
+    sd["encoder.positional_embedding"] = _t_copy(enc["positional_embedding"])
     n_enc = np.asarray(enc["blocks"]["attn_ln"]["scale"]).shape[0]
     for i in range(n_enc):
         put_block(
@@ -294,12 +295,8 @@ def export_torch_state_dict(params: dict, at_low_compute: bool = False) -> Dict:
     put_ln("encoder.ln_post", enc["ln_post"])
 
     dec = params["decoder"]
-    sd["decoder.token_embedding.weight"] = torch.from_numpy(
-        np.asarray(dec["token_embedding"], np.float32)
-    )
-    sd["decoder.positional_embedding"] = torch.from_numpy(
-        np.asarray(dec["positional_embedding"], np.float32)
-    )
+    sd["decoder.token_embedding.weight"] = _t_copy(dec["token_embedding"])
+    sd["decoder.positional_embedding"] = _t_copy(dec["positional_embedding"])
     n_dec = np.asarray(dec["blocks"]["attn_ln"]["scale"]).shape[0]
     for i in range(n_dec):
         put_block(

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..checkpoint import load_params, save_params
+from ..checkpoint import load_params
 from .dataloader import DataLoader, FeatureDataset, balanced_sample_weights
 from .loop import train, validate, wa_model
 from .steps import make_eval_step
