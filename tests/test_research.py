@@ -346,3 +346,69 @@ def test_native_bpe_matches_python():
                  "12345", "ünïcödé"]:
         piece = text.encode("utf-8")
         assert engine.encode_piece(piece) == _bpe_merge(ranks, piece)
+
+
+def test_as_eval_end_to_end(tmp_path):
+    """whisper_at_as_eval equivalent: transcribe+tag each eval clip, save
+    pred/truth arrays, compute mAP; compute_mAP re-reads the saved arrays."""
+    import whisper_at_tpu  # noqa: F401  (binds transcribe)
+    from whisper_at_tpu.research.as_eval import (
+        compute_map_from_saved,
+        evaluate_audioset,
+    )
+
+    model = Whisper(DIMS, seed=7)
+    rng = np.random.default_rng(0)
+    label_csv = tmp_path / "labels.csv"
+    with open(label_csv, "w") as f:
+        f.write("index,mid,display_name\n")
+        for i in range(4):
+            f.write(f'{i},/m/{i:03d},"c{i}"\n')
+    entries = []
+    for i in range(3):
+        path = str(tmp_path / f"c{i}.wav")
+        write_wav(path, (0.2 * rng.standard_normal(16000 * 2)).astype(np.float32))
+        entries.append({"wav": path, "labels": f"/m/{i % 4:03d}"})
+    eval_json = tmp_path / "eval.json"
+    with open(eval_json, "w") as f:
+        json.dump({"data": entries}, f)
+
+    res = evaluate_audioset(
+        model, str(eval_json), str(label_csv), str(tmp_path / "out"), tag="t"
+    )
+    assert 0 <= res["mAP"] <= 1
+    again = compute_map_from_saved(str(tmp_path / "out"), ["t"])
+    assert again["t"] == pytest.approx(res["mAP"])
+
+
+def test_layer_probe():
+    from whisper_at_tpu.research.layer_probe import layer_wise_probe
+
+    rng = np.random.default_rng(0)
+    n, n_layers, dim = 80, 3, 16
+    labels = rng.integers(0, 4, n)
+    feats = rng.standard_normal((n, n_layers, dim)).astype(np.float32)
+    # layer 1 is separable, others are noise
+    feats[np.arange(n), 1, labels] += 10.0
+    folds = np.repeat(np.arange(4), n // 4)
+    results = layer_wise_probe(feats, labels, folds, max_iter=1500)
+    assert len(results) == n_layers
+    accs = [r["accuracy"] for r in results]
+    assert accs[1] > accs[0] and accs[1] > accs[2]
+    assert accs[1] > 0.6
+
+
+def test_plots_return_values(tmp_path):
+    from whisper_at_tpu.research import plots
+
+    wer = {"whisper": [0.9, 0.7, 0.5, 0.3, 0.2, 0.15, 0.1, 0.08, 0.05]}
+    out = plots.plot_wer_vs_snr(wer, str(tmp_path / "f1.png"))
+    assert out == wer
+    counts = plots.plot_best_layer_histogram([0, 1, 1, 2], 4, str(tmp_path / "f3.png"))
+    assert list(np.asarray(counts)) == [1, 2, 1, 0]
+    top = plots.plot_classwise_noise(
+        np.array([0.1, 0.9, 0.5]), ["a", "b", "c"], str(tmp_path / "f2.png"), top_k=2
+    )
+    assert top[0][0] == "b"
+    if plots.HAVE_MPL:
+        assert (tmp_path / "f1.png").exists()
