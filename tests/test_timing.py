@@ -189,3 +189,28 @@ def test_fused_mlp_matches_reference():
     )
     out_q = fused_mlp(x, qparams, interpret=True)
     np.testing.assert_allclose(np.asarray(out_q), np.asarray(ref_q), atol=2e-5)
+
+
+def test_flash_decode_cross_matches_reference():
+    """Experimental flash-decode kernel (interpret mode): exact vs the
+    dequantized softmax-attention reference."""
+    import jax
+
+    from whisper_at_tpu.models.decoder import _quantize_sym
+    from whisper_at_tpu.ops.flash_decode import flash_decode_cross
+
+    rng = np.random.default_rng(1)
+    bh, dh, s = 32, 64, 700  # exercises tail masking (700 % 512 != 0)
+    q = jnp.asarray(rng.standard_normal((bh, dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((bh, dh, s)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((bh, s, dh)), jnp.float32)
+    kq = _quantize_sym(k, axis=-2)
+    vq = _quantize_sym(v, axis=-1)
+    kd = kq["q"].astype(jnp.float32) * kq["s"]
+    vd = vq["q"].astype(jnp.float32) * vq["s"]
+    logits = jnp.einsum("bd,bds->bs", q, kd) * (dh**-0.5)
+    ref = jnp.einsum("bs,bsd->bd", jax.nn.softmax(logits, -1), vd)
+
+    vs_t = vq["s"][:, :, 0][:, None, :]
+    out = flash_decode_cross(q, kq["q"], kq["s"], vq["q"], vs_t, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
