@@ -133,3 +133,28 @@ def test_batched_transcribe_on_mesh(devices_ok):
     np.testing.assert_allclose(
         sharded["audio_tag"], single["audio_tag"], atol=1e-4
     )
+
+
+def test_mesh_inference_with_quantization(devices_ok):
+    """int8 KV + weight quantization under GSPMD on the mesh."""
+    import whisper_at_tpu as wat
+    from whisper_at_tpu.models.dims import ModelDimensions
+    from whisper_at_tpu.models.whisper import Whisper
+
+    dims = ModelDimensions(
+        n_mels=80, n_audio_ctx=1500, n_audio_state=64, n_audio_head=4,
+        n_audio_layer=2, n_vocab=51865, n_text_ctx=448, n_text_head=4,
+        n_text_state=64, n_text_layer=2,
+    )
+    model = Whisper(dims, seed=13)
+    rng = np.random.default_rng(5)
+    audio = (0.2 * rng.standard_normal(16000 * 35)).astype(np.float32)
+    kwargs = dict(
+        language="en", fp16=False, temperature=0.0,
+        logprob_threshold=None, compression_ratio_threshold=None,
+        no_speech_threshold=None, kv_quant=True, weight_quant=True,
+    )
+    single = wat.transcribe_batched(model, audio, **kwargs)
+    mesh = make_mesh(n_devices=2, tp=1)
+    sharded = wat.transcribe_batched(model, audio, mesh=mesh, max_batch=2, **kwargs)
+    assert sharded["text"] == single["text"]

@@ -78,9 +78,8 @@ def cli():
     else:
         temperature = [temperature]
 
-    model = load_model(model_name, download_root=model_dir, at_low_compute=at_low_compute)
-
-    writer = get_writer(output_format, output_dir)
+    # validate flag combinations BEFORE the (potentially multi-GB) model
+    # download — unlike the reference, which checks after load_model
     word_options = ["highlight_words", "max_line_count", "max_line_width"]
     if not args["word_timestamps"]:
         for option in word_options:
@@ -89,6 +88,10 @@ def cli():
     if args["max_line_count"] and not args["max_line_width"]:
         warnings.warn("--max_line_count has no effect without --max_line_width")
     writer_args = {arg: args.pop(arg) for arg in word_options}
+
+    model = load_model(model_name, download_root=model_dir, at_low_compute=at_low_compute)
+
+    writer = get_writer(output_format, output_dir)
     for audio_path in args.pop("audio"):
         result = transcribe(model, audio_path, temperature=temperature, **args)
         writer(result, audio_path, writer_args)
