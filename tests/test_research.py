@@ -412,3 +412,18 @@ def test_plots_return_values(tmp_path):
     assert top[0][0] == "b"
     if plots.HAVE_MPL:
         assert (tmp_path / "f1.png").exists()
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    import jax
+
+    from whisper_at_tpu.checkpoint import load_params_orbax, save_params_orbax
+
+    model = Whisper(DIMS, seed=8)
+    path = str(tmp_path / "orbax_ckpt")
+    save_params_orbax(path, model.params, DIMS)
+    dims2, params2 = load_params_orbax(path)
+    assert dims2 == DIMS
+    for a, b in zip(jax.tree.leaves(model.params), jax.tree.leaves(params2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))

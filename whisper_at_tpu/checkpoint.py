@@ -314,3 +314,34 @@ def export_torch_state_dict(params: dict, at_low_compute: bool = False) -> Dict:
         put_linear("at_model.down_layer.1", at["down"])
 
     return sd
+
+
+# --------------------------------------------------------------------------- #
+# orbax backend (optional; production-grade async/large-scale checkpoints)
+# --------------------------------------------------------------------------- #
+
+
+def save_params_orbax(path: str, params: dict, dims: Optional[ModelDimensions] = None):
+    """Save the pytree with orbax (directory checkpoint; atomic, shard-aware).
+
+    The .npz format (save_params) stays the default for single-host use;
+    orbax is the multi-host / very-large-model option (SURVEY §5).
+    """
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    payload = dict(params)
+    if dims is not None:
+        payload = {"params": params, "dims": dict(dims.__dict__)}
+    ckptr.save(path, payload)
+
+
+def load_params_orbax(path: str) -> Tuple[Optional[ModelDimensions], dict]:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    payload = ckptr.restore(path)
+    if "dims" in payload and "params" in payload:
+        dims = ModelDimensions(**{k: int(v) for k, v in payload["dims"].items()})
+        return dims, payload["params"]
+    return None, payload
