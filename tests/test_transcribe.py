@@ -224,3 +224,39 @@ def test_transcribe_batched_word_timestamps_and_prompt(model, audio_45s):
     for seg in result["segments"]:
         for word in seg["words"]:
             assert word["end"] >= word["start"]
+
+
+def test_transcribe_exactly_30s(model):
+    """Window-boundary audio: exactly one full window, one tag grid row x3."""
+    rng = np.random.default_rng(11)
+    audio = (0.2 * rng.standard_normal(16000 * 30)).astype(np.float32)
+    result = model.transcribe(
+        audio, language="en", fp16=False, verbose=None, temperature=0.0,
+        logprob_threshold=None, compression_ratio_threshold=None,
+        no_speech_threshold=None,
+    )
+    assert result["audio_tag"].shape == (3, 527)
+    assert all(seg["seek"] < 3000 for seg in result["segments"])
+
+
+def test_translate_task_with_timestamps(model, audio_45s):
+    result = model.transcribe(
+        audio_45s[: 16000 * 5], language="zh", task="translate",
+        fp16=False, verbose=None, temperature=0.0,
+        logprob_threshold=None, compression_ratio_threshold=None,
+        no_speech_threshold=None,
+    )
+    assert isinstance(result["text"], str)
+    assert result["language"] == "zh"
+
+
+def test_decode_sample_len_one(model):
+    from whisper_at_tpu.decoding import DecodingOptions, decode
+
+    rng = np.random.default_rng(12)
+    mel = np.asarray(rng.standard_normal((80, 3000)), np.float32) * 0.3
+    import jax.numpy as jnp
+
+    r = decode(model, jnp.asarray(mel),
+               DecodingOptions(language="en", fp16=False, sample_len=1))
+    assert len(r.tokens) <= 1
