@@ -64,8 +64,10 @@ def encoder_flash_attention(
         segment_ids=segment_ids,
         causal=False,
         sm_scale=d_head**-0.5,
+        # swept on v5e at [8,20,1536,64]: full-length q blocks with 512-key
+        # tiles were fastest (3.34 ms vs 3.72 for 512/512)
         block_sizes=BlockSizes(
-            block_q=_BLOCK, block_k_major=_BLOCK, block_k=_BLOCK, block_b=1,
+            block_q=t_pad, block_k_major=_BLOCK, block_k=_BLOCK, block_b=1,
         ),
     )
     out = out[:, :, :t].transpose(0, 2, 1, 3).reshape(b, t, d)
