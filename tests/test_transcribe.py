@@ -260,3 +260,23 @@ def test_decode_sample_len_one(model):
     r = decode(model, jnp.asarray(mel),
                DecodingOptions(language="en", fp16=False, sample_len=1))
     assert len(r.tokens) <= 1
+
+
+def test_sequential_prompt_threading_across_windows(model):
+    """condition_on_previous_text grows the prompt across windows, walking
+    through prefill buckets (4 -> 8 -> 16 ...) without recompile blowups or
+    shape errors; prompt resets after high-temperature windows are exercised
+    by the ladder logic elsewhere."""
+    rng = np.random.default_rng(21)
+    t = np.arange(16000 * 95) / 16000.0  # 4 windows
+    audio = (0.3 * np.sin(2 * np.pi * 280 * t)
+             + 0.02 * rng.standard_normal(len(t))).astype(np.float32)
+    result = model.transcribe(
+        audio, language="en", fp16=False, verbose=None, temperature=0.0,
+        condition_on_previous_text=True,
+        logprob_threshold=None, compression_ratio_threshold=None,
+        no_speech_threshold=None,
+    )
+    assert result["audio_tag"].shape == (10, 527)
+    seeks = {seg["seek"] for seg in result["segments"]}
+    assert len(seeks) >= 3  # decoded several distinct windows
