@@ -73,11 +73,15 @@ def load_model(
     in_memory: bool = False,
     at_low_compute: bool = False,
     dtype=None,
+    at_checkpoint: Optional[str] = None,
 ) -> Whisper:
     """Load a Whisper-AT model (whisper_at/__init__.py:120-196 semantics).
 
     name: an official model name, a local Whisper `.pt` path, or a native
     `.npz` checkpoint saved with checkpoint.save_params.
+    at_checkpoint: optional local TL-TR head `.pth` path, merged when `name`
+    is a local `.pt` (official names download the matching head; a lone `.pt`
+    without a head gets a random head + warning — ASR-only).
     dtype: parameter storage dtype; defaults to bfloat16 (TPU-native half).
     `device` is accepted for API parity and ignored (JAX places arrays).
     """
@@ -106,7 +110,9 @@ def load_model(
         if dims is None:
             raise RuntimeError(f"{name} does not embed model dimensions")
     elif os.path.isfile(name):
-        dims, params = load_torch_checkpoint(name, None, at_low_compute, dtype)
+        dims, params = load_torch_checkpoint(
+            name, at_checkpoint, at_low_compute, dtype
+        )
     else:
         raise RuntimeError(
             f"Model {name} not found; available models = {available_models()}"
@@ -115,5 +121,16 @@ def load_model(
     model = Whisper(dims, at_low_compute=at_low_compute, params=params,
                     storage_dtype=dtype)
     if alignment_heads is not None:
-        model.set_alignment_heads(alignment_heads)
+        try:
+            model.set_alignment_heads(alignment_heads)
+        except ValueError:
+            # a locally-substituted checkpoint under an official name whose
+            # dims differ from the release: keep the default head mask
+            import warnings
+
+            warnings.warn(
+                f"registry alignment heads for {name!r} do not match the "
+                "checkpoint's dims; using the default (last half of "
+                "decoder layers)", stacklevel=2,
+            )
     return model

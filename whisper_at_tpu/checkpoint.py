@@ -109,15 +109,36 @@ def convert_torch_state_dict(
         "ln": _convert_ln(sd, "decoder.ln"),
     }
 
-    at_model = {
-        "time_tr": _convert_block(sd, "at_model.time_tr", cross=False),
-        "layer_tr": _convert_block(sd, "at_model.layer_tr", cross=False),
-        "mlp_ln": _convert_ln(sd, "at_model.mlp_layer.0"),
-        "mlp": _convert_linear(sd, "at_model.mlp_layer.1"),
-    }
-    if at_low_compute:
-        at_model["down_ln"] = _convert_ln(sd, "at_model.down_layer.0")
-        at_model["down"] = _convert_linear(sd, "at_model.down_layer.1")
+    if "at_model.mlp_layer.1.weight" in sd:
+        at_model = {
+            "time_tr": _convert_block(sd, "at_model.time_tr", cross=False),
+            "layer_tr": _convert_block(sd, "at_model.layer_tr", cross=False),
+            "mlp_ln": _convert_ln(sd, "at_model.mlp_layer.0"),
+            "mlp": _convert_linear(sd, "at_model.mlp_layer.1"),
+        }
+        if at_low_compute:
+            at_model["down_ln"] = _convert_ln(sd, "at_model.down_layer.0")
+            at_model["down"] = _convert_linear(sd, "at_model.down_layer.1")
+    else:
+        # vanilla OpenAI Whisper checkpoint without a TL-TR head (.pt only):
+        # ASR works; tagging needs a trained head (load one via at_checkpoint)
+        import warnings
+
+        import jax as _jax
+
+        warnings.warn(
+            "checkpoint has no at_model.* keys — initializing a RANDOM "
+            "TL-TR head; audio tags will be meaningless until a trained "
+            "head checkpoint is loaded.",
+            stacklevel=2,
+        )
+        from .models.at_head import init_at_head
+
+        mode = "tl_down_tr_512_1_8" if at_low_compute else "tl_tr_1_8"
+        at_model = init_at_head(
+            _jax.random.PRNGKey(0), dims.n_audio_layer, dims.n_audio_state,
+            mode, dtype=dtype,
+        )
 
     import jax
 
