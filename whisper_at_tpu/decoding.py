@@ -218,13 +218,16 @@ def greedy_sample_loop(
     Sampled tokens occupy slots [prefill, prefill + n_steps).
     """
     _ck_arr = cross_k["q"] if isinstance(cross_k, dict) else cross_k
-    n_layer, b = _ck_arr.shape[0], _ck_arr.shape[1]
+    n_layer, b = _ck_arr.shape[0], buf_init.shape[0]
+    # rows per shared audio (best-of groups): cross tensors keep one row per
+    # audio; the decoder folds grouped rows into the attention sequence axis
+    group = b // _ck_arr.shape[1]
     d = _ck_arr.shape[2] * _ck_arr.shape[3]  # H * Dh
     self_k, self_v = init_cache(n_layer, b, total, d, compute_dtype, n_head)
 
     hidden, self_k, self_v = decoder_forward(
         dec_params, buf_init[:, :prefill], cross_k, cross_v, self_k, self_v,
-        jnp.int32(0), pad, n_head, compute_dtype,
+        jnp.int32(0), pad, n_head, compute_dtype, group=group,
     )
 
     if no_speech_id is not None:
@@ -276,7 +279,7 @@ def greedy_sample_loop(
 
         hidden, self_k, self_v = decoder_forward(
             dec_params, next_tok[:, None], cross_k, cross_v, self_k, self_v,
-            slot, pad, n_head, compute_dtype,
+            slot, pad, n_head, compute_dtype, group=group,
         )
         logits = project_logits(dec_params, hidden)[:, 0]
         return (t + 1, buf, self_k, self_v, logits, sum_lp, last_ts, finished, key)
@@ -364,7 +367,10 @@ def beam_sample_loop(
     k_beam = beam_size
     n_cand = k_beam * (k_beam + 1)
     _ck_arr = cross_k["q"] if isinstance(cross_k, dict) else cross_k
-    n_layer, bk = _ck_arr.shape[0], _ck_arr.shape[1]
+    n_layer, bk = _ck_arr.shape[0], buf_init.shape[0]
+    # beams share their window's audio: cross tensors carry one row per
+    # audio (group = k_beam) — or bk rows if the caller pre-repeated them
+    group = bk // _ck_arr.shape[1]
     a_audio = bk // k_beam
     d = _ck_arr.shape[2] * _ck_arr.shape[3]  # H * Dh
     c_cap = max_candidates
@@ -372,7 +378,7 @@ def beam_sample_loop(
     self_k, self_v = init_cache(n_layer, bk, total, d, compute_dtype, n_head)
     hidden, self_k, self_v = decoder_forward(
         dec_params, buf_init[:, :prefill], cross_k, cross_v, self_k, self_v,
-        jnp.int32(0), pad, n_head, compute_dtype,
+        jnp.int32(0), pad, n_head, compute_dtype, group=group,
     )
     if no_speech_id is not None:
         sot_hidden = jnp.take_along_axis(
@@ -473,7 +479,7 @@ def beam_sample_loop(
 
         hidden, self_k, self_v = decoder_forward(
             dec_params, ntok_flat[:, None], cross_k, cross_v, self_k, self_v,
-            slot, pad, n_head, compute_dtype,
+            slot, pad, n_head, compute_dtype, group=group,
         )
         logits = project_logits(dec_params, hidden)[:, 0]
         return (t + 1, buf, self_k, self_v, logits, sum_lp, last_ts,
@@ -691,17 +697,17 @@ class DecodingTask:
                 )
             ]
 
-        # repeat audio & text tensors by group size (beams / best-of samples)
+        # groups (beams / best-of samples) repeat only the TOKEN rows; the
+        # cross-attention KV keeps one row per audio — the decoder folds the
+        # group into the attention sequence axis (decoder_forward group=...),
+        # reading the dominant KV stream once per audio instead of per beam
         n_group = self.n_group
         if n_group > 1:
-            audio_features_rep = jnp.repeat(audio_features, n_group, axis=0)
             buf = jnp.repeat(buf, n_group, axis=0)
-        else:
-            audio_features_rep = audio_features
 
         dec_params = self.model.decoder_params_decode(options.weight_quant)
         cross_k, cross_v = precompute_cross_kv(
-            dec_params, audio_features_rep,
+            dec_params, audio_features,
             self.model.dims.n_text_head, compute_dtype,
             quantize=options.kv_quant,
         )

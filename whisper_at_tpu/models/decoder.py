@@ -206,16 +206,24 @@ def precompute_cross_kv(
 def decoder_forward(
     params: dict,
     tokens: jnp.ndarray,  # [B, S] int32
-    cross_k: jnp.ndarray,  # [L, B, H, Dh, Ta] (pre-transposed decode layout)
-    cross_v: jnp.ndarray,  # [L, B, H, Ta, Dh]
+    cross_k: jnp.ndarray,  # [L, B/group, H, Dh, Ta] (pre-transposed layout)
+    cross_v: jnp.ndarray,  # [L, B/group, H, Ta, Dh]
     self_k: jnp.ndarray,  # [L, B, H, n_ctx, Dh] cache (functionally updated)
     self_v: jnp.ndarray,  # [L, B, H, n_ctx, Dh]
     write_pos: jnp.ndarray,  # scalar int32: cache slot of tokens[:, 0]
     pad: jnp.ndarray,  # scalar int32: slots < pad are masked out
     n_head: int,
     compute_dtype=jnp.float32,
+    group: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One decoder pass over S tokens (prefill: S = bucket; step: S = 1).
+
+    group: consecutive token rows per shared audio row. Beam search / best-of
+    runs K hypotheses per window; their cross-attention keys/values are
+    IDENTICAL (same encoder output), so the cross tensors keep one row per
+    audio and the K query rows fold into the attention's sequence axis. This
+    cuts the decode loop's dominant HBM stream (the cross-KV read) K-fold vs
+    materializing repeated rows.
 
     Returns (hidden [B, S, D] after final LN, updated self_k, updated self_v).
     Project to vocabulary logits with `project_logits` on the positions you
@@ -278,10 +286,19 @@ def decoder_forward(
         )
         h = h + linear(block_params["attn"]["out"], _merge_heads(attn_out))
 
-        # cross-attention over precomputed audio keys/values
+        # cross-attention over precomputed audio keys/values; grouped rows
+        # (beams) fold into the query sequence axis so the shared K/V stream
+        # is read once per audio row
         normed = layer_norm(block_params["cross_attn_ln"], h)
         q = linear(block_params["cross_attn"]["query"], normed)
         qh_c = _split_v(q, n_head)
+        if group > 1:
+            b_, h_heads, s_, dh_ = qh_c.shape
+            qh_c = (
+                qh_c.reshape(b_ // group, group, h_heads, s_, dh_)
+                .transpose(0, 2, 1, 3, 4)
+                .reshape(b_ // group, h_heads, group * s_, dh_)
+            )
         if isinstance(ck, dict):  # int8-quantized cross KV
             scale = jnp.float32(qh_c.shape[-1] ** -0.5)
             qk = (
@@ -303,6 +320,13 @@ def decoder_forward(
         else:
             attn_out = attention_decode(
                 qh_c, ck.astype(compute_dtype), cv.astype(compute_dtype)
+            )
+        if group > 1:
+            a_, h_heads, gs_, dh_ = attn_out.shape
+            attn_out = (
+                attn_out.reshape(a_, h_heads, group, gs_ // group, dh_)
+                .transpose(0, 2, 1, 3, 4)
+                .reshape(a_ * group, h_heads, gs_ // group, dh_)
             )
         h = h + linear(block_params["cross_attn"]["out"], _merge_heads(attn_out))
 
