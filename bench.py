@@ -45,6 +45,11 @@ def main():
     parser.add_argument("--weight-quant", action="store_true", default=True,
                         help="int8-quantize the decoder matmul weights "
                              "(default on; token parity on test models)")
+    parser.add_argument("--self-kv-quant", action="store_true", default=True,
+                        help="int8 self-attention KV cache (token parity "
+                             "verified on test models)")
+    parser.add_argument("--no-self-kv-quant", dest="self_kv_quant",
+                        action="store_false")
     parser.add_argument("--no-weight-quant", dest="weight_quant",
                         action="store_false")
     args = parser.parse_args()
@@ -94,6 +99,7 @@ def main():
             no_speech_threshold=None,
             kv_quant=args.kv_quant,
             weight_quant=args.weight_quant,
+            self_kv_quant=args.self_kv_quant,
         )
 
     # warmup (compiles the mel kernel, encoder, prefill, and decode loop)
@@ -111,7 +117,8 @@ def main():
         "metric": f"{args.size} batched transcribe+tag throughput "
                   f"({args.tokens} tok/30s-window, batch {args.batch}, "
                   f"{'int8 cross-KV, ' if args.kv_quant else ''}"
-                  f"{'int8 weights, ' if args.weight_quant else ''}1 chip)",
+                  f"{'int8 weights, ' if args.weight_quant else ''}"
+                  f"{'int8 self-KV, ' if args.self_kv_quant else ''}1 chip)",
         "value": round(rtf, 2),
         "unit": "audio-sec/sec",
         "vs_baseline": round(rtf / 50.0, 3),

@@ -228,7 +228,63 @@ def test_kv_quant_beam(model, mel):
     assert isinstance(r.tokens, list)
 
 
-def test_weight_quant_matches_fp_path(model, mel):
+def test_self_kv_quant_matches_fp_path(model, mel):
+    """int8 self-attention KV cache (per-slot scales) must reproduce the
+    full-precision tokens on the test model, greedy and beam."""
+    r1 = decode(model, mel[0],
+                DecodingOptions(language="en", fp16=False, sample_len=16))
+    r2 = decode(model, mel[0],
+                DecodingOptions(language="en", fp16=False, sample_len=16,
+                                self_kv_quant=True))
+    assert r1.tokens == r2.tokens
+
+    b1 = decode(model, mel[0],
+                DecodingOptions(language="en", fp16=False, sample_len=12,
+                                beam_size=3))
+    b2 = decode(model, mel[0],
+                DecodingOptions(language="en", fp16=False, sample_len=12,
+                                beam_size=3, self_kv_quant=True))
+    assert b1.tokens == b2.tokens
+
+
+def test_grouped_cross_kv_matches_repeated(model, mel):
+    """decoder_forward with shared cross-KV rows (group=K) must equal the
+    same pass with the cross tensors explicitly repeated per beam."""
+    import jax
+    import jax.numpy as jnp
+
+    from whisper_at_tpu.models.decoder import (
+        decoder_forward, init_cache, precompute_cross_kv,
+    )
+
+    dims = model.dims
+    a_audio, k_beam = 2, 3
+    bk = a_audio * k_beam
+    rng = np.random.default_rng(4)
+    feats = jnp.asarray(
+        rng.standard_normal((a_audio, dims.n_audio_ctx, dims.n_audio_state))
+        * 0.3, jnp.float32,
+    )
+    tokens = jnp.asarray(rng.integers(0, 1000, (bk, 4)), jnp.int32)
+    dec = model.params["decoder"]
+
+    ck, cv = precompute_cross_kv(dec, feats, dims.n_text_head, jnp.float32)
+    ck_rep = jnp.repeat(ck, k_beam, axis=1)
+    cv_rep = jnp.repeat(cv, k_beam, axis=1)
+
+    sk, sv = init_cache(dims.n_text_layer, bk, 8, dims.n_text_state,
+                        jnp.float32, dims.n_text_head)
+    h_shared, _, _ = decoder_forward(
+        dec, tokens, ck, cv, sk, sv, jnp.int32(0), jnp.int32(0),
+        dims.n_text_head, jnp.float32, group=k_beam,
+    )
+    h_rep, _, _ = decoder_forward(
+        dec, tokens, ck_rep, cv_rep, sk, sv, jnp.int32(0), jnp.int32(0),
+        dims.n_text_head, jnp.float32, group=1,
+    )
+    np.testing.assert_allclose(
+        np.asarray(h_shared), np.asarray(h_rep), atol=1e-5
+    )
     """int8 decoder weights (per-output-channel scales) must reproduce the
     full-precision tokens on the test model."""
     r1 = decode(model, mel[0],

@@ -73,6 +73,10 @@ class DecodingOptions:
     # int8-quantize the decoder matmul weights (per-output-channel scales);
     # halves the weight stream. Off by default pending real-checkpoint parity.
     weight_quant: bool = False
+    # int8-quantize the SELF-attention KV cache (per-slot scales). Matters
+    # most in beam search, where the whole cache is re-gathered along the
+    # beam axis every step. Off by default pending real-checkpoint parity.
+    self_kv_quant: bool = False
 
 
 @dataclass(frozen=False)
@@ -186,6 +190,7 @@ def apply_logit_filters(
         "max_initial_ts_index",
         "suppress_blank",
         "with_ts_rules",
+        "self_kv_quant",
     ),
 )
 def greedy_sample_loop(
@@ -211,6 +216,7 @@ def greedy_sample_loop(
     max_initial_ts_index: Optional[int],
     suppress_blank: bool,
     with_ts_rules: bool,
+    self_kv_quant: bool = False,
 ):
     """Greedy / temperature sampling of up to max_steps tokens, fully on device.
 
@@ -223,7 +229,8 @@ def greedy_sample_loop(
     # audio; the decoder folds grouped rows into the attention sequence axis
     group = b // _ck_arr.shape[1]
     d = _ck_arr.shape[2] * _ck_arr.shape[3]  # H * Dh
-    self_k, self_v = init_cache(n_layer, b, total, d, compute_dtype, n_head)
+    self_k, self_v = init_cache(n_layer, b, total, d, compute_dtype, n_head,
+                            quantize=self_kv_quant)
 
     hidden, self_k, self_v = decoder_forward(
         dec_params, buf_init[:, :prefill], cross_k, cross_v, self_k, self_v,
@@ -323,6 +330,7 @@ def greedy_sample_loop(
         "max_initial_ts_index",
         "suppress_blank",
         "with_ts_rules",
+        "self_kv_quant",
     ),
 )
 def beam_sample_loop(
@@ -348,6 +356,7 @@ def beam_sample_loop(
     max_initial_ts_index: Optional[int],
     suppress_blank: bool,
     with_ts_rules: bool,
+    self_kv_quant: bool = False,
 ):
     """Beam search with patience, entirely on device.
 
@@ -375,7 +384,8 @@ def beam_sample_loop(
     d = _ck_arr.shape[2] * _ck_arr.shape[3]  # H * Dh
     c_cap = max_candidates
 
-    self_k, self_v = init_cache(n_layer, bk, total, d, compute_dtype, n_head)
+    self_k, self_v = init_cache(n_layer, bk, total, d, compute_dtype, n_head,
+                            quantize=self_kv_quant)
     hidden, self_k, self_v = decoder_forward(
         dec_params, buf_init[:, :prefill], cross_k, cross_v, self_k, self_v,
         jnp.int32(0), pad, n_head, compute_dtype, group=group,
@@ -474,8 +484,8 @@ def beam_sample_loop(
         last_ts = jnp.take(last_ts, flat_src, axis=0)
         ntok_flat = new_tok.reshape(-1)
         last_ts = jnp.where(ntok_flat >= ts_begin, ntok_flat, last_ts)
-        self_k = jnp.take(self_k, flat_src, axis=1)
-        self_v = jnp.take(self_v, flat_src, axis=1)
+        self_k = jax.tree.map(lambda x: jnp.take(x, flat_src, axis=1), self_k)
+        self_v = jax.tree.map(lambda x: jnp.take(x, flat_src, axis=1), self_v)
 
         hidden, self_k, self_v = decoder_forward(
             dec_params, ntok_flat[:, None], cross_k, cross_v, self_k, self_v,
@@ -741,6 +751,7 @@ class DecodingTask:
             max_initial_ts_index=self.max_initial_ts_index,
             suppress_blank=self.suppress_blank,
             with_ts_rules=self.with_ts_rules,
+            self_kv_quant=self.options.self_kv_quant,
         )
 
         buf_out = np.asarray(buf_out)
@@ -826,6 +837,7 @@ class DecodingTask:
                 max_initial_ts_index=self.max_initial_ts_index,
                 suppress_blank=self.suppress_blank,
                 with_ts_rules=self.with_ts_rules,
+                self_kv_quant=self.options.self_kv_quant,
             )
         )
         fin_tokens = np.asarray(fin_tokens)

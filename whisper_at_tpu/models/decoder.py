@@ -108,7 +108,8 @@ def quantize_decoder_blocks(fused_params: dict) -> dict:
 
 
 def init_cache(
-    n_layer: int, batch: int, n_ctx: int, n_state: int, dtype, n_head: int
+    n_layer: int, batch: int, n_ctx: int, n_state: int, dtype, n_head: int,
+    quantize: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Self-attention KV cache in head-split row layout [L, B, H, ctx, Dh].
 
@@ -118,9 +119,23 @@ def init_cache(
     noise. The STATIC cross-attention K, by contrast, is stored pre-transposed
     (precompute_cross_kv) — re-transposing 1.9 GB per token was the decode
     loop's dominant cost.
+
+    quantize=True stores int8 values with per-(layer,row,head,slot) fp32
+    scales ({"q": int8, "s": fp32[L,B,H,ctx]}) — halves the cache bytes,
+    which matters most in beam search where the whole cache is re-gathered
+    along the beam axis every step.
     """
     d_head = n_state // n_head
     shape = (n_layer, batch, n_head, n_ctx, d_head)
+    if quantize:
+        # scales live as [L, B, ctx, H]: the per-step dynamic write lands on
+        # the SUBLANE (ctx) axis — a dynamic write on the lane-minor axis
+        # stalls the TPU (same rule that dictates the row layout above)
+        cache = {
+            "q": jnp.zeros(shape, jnp.int8),
+            "s": jnp.zeros((n_layer, batch, n_ctx, n_head), jnp.float32),
+        }
+        return cache, {k: v.copy() for k, v in cache.items()}
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 
 
@@ -229,7 +244,7 @@ def decoder_forward(
     Project to vocabulary logits with `project_logits` on the positions you
     need — avoids materializing [B, S, V] during prefill.
     """
-    n_ctx = self_k.shape[-2]
+    n_ctx = (self_k["q"] if isinstance(self_k, dict) else self_k).shape[-2]
     s = tokens.shape[1]
 
     pos = write_pos + jnp.arange(s, dtype=jnp.int32) - pad
@@ -268,22 +283,76 @@ def decoder_forward(
             k_new = linear(block_params["attn"]["key"], normed)
             v_new = linear(block_params["attn"]["value"], normed)
         qh = _split_v(q, n_head)  # [B, H, S, Dh]
-        sk_all = jax.lax.dynamic_update_slice(
-            sk_all,
-            _split_v(k_new, n_head)[None].astype(sk_all.dtype),
-            (layer_idx, 0, 0, write_pos, 0),
-        )
-        sv_all = jax.lax.dynamic_update_slice(
-            sv_all,
-            _split_v(v_new, n_head)[None].astype(sv_all.dtype),
-            (layer_idx, 0, 0, write_pos, 0),
-        )
-        k_full = jax.lax.dynamic_index_in_dim(sk_all, layer_idx, 0, keepdims=False)
-        v_full = jax.lax.dynamic_index_in_dim(sv_all, layer_idx, 0, keepdims=False)
-        attn_out = attention_decode(
-            qh, k_full.astype(compute_dtype), v_full.astype(compute_dtype),
-            mask=mask, k_transposed=False,
-        )
+        kh_new = _split_v(k_new, n_head)
+        vh_new = _split_v(v_new, n_head)
+        if isinstance(sk_all, dict):  # int8 self cache
+            kq = _quantize_sym(kh_new, axis=-1)
+            vq = _quantize_sym(vh_new, axis=-1)
+            # scale updates: [B, H, S, 1] -> [B, S, H] (ctx-axis write)
+            ks_new = kq["s"][..., 0].transpose(0, 2, 1)
+            vs_new = vq["s"][..., 0].transpose(0, 2, 1)
+            sk_all = {
+                "q": jax.lax.dynamic_update_slice(
+                    sk_all["q"], kq["q"][None], (layer_idx, 0, 0, write_pos, 0)
+                ),
+                "s": jax.lax.dynamic_update_slice(
+                    sk_all["s"], ks_new[None], (layer_idx, 0, write_pos, 0)
+                ),
+            }
+            sv_all = {
+                "q": jax.lax.dynamic_update_slice(
+                    sv_all["q"], vq["q"][None], (layer_idx, 0, 0, write_pos, 0)
+                ),
+                "s": jax.lax.dynamic_update_slice(
+                    sv_all["s"], vs_new[None], (layer_idx, 0, write_pos, 0)
+                ),
+            }
+            k_q = jax.lax.dynamic_index_in_dim(
+                sk_all["q"], layer_idx, 0, keepdims=False
+            )
+            k_s = jax.lax.dynamic_index_in_dim(
+                sk_all["s"], layer_idx, 0, keepdims=False
+            ).transpose(0, 2, 1)  # [B, ctx, H] -> [B, H, ctx]
+            v_q = jax.lax.dynamic_index_in_dim(
+                sv_all["q"], layer_idx, 0, keepdims=False
+            )
+            v_s = jax.lax.dynamic_index_in_dim(
+                sv_all["s"], layer_idx, 0, keepdims=False
+            ).transpose(0, 2, 1)
+            scale = jnp.float32(qh.shape[-1] ** -0.5)
+            qk = (
+                jnp.einsum(
+                    "bhtd,bhsd->bhts", qh, k_q.astype(compute_dtype),
+                    preferred_element_type=jnp.float32,
+                )
+                * k_s[:, :, None, :]  # per-slot K scale
+                * scale
+            )
+            qk = qk + mask
+            w = jax.nn.softmax(qk, axis=-1)
+            w = (w * v_s[:, :, None, :]).astype(compute_dtype)
+            attn_out = jnp.einsum("bhts,bhsd->bhtd", w, v_q.astype(compute_dtype))
+        else:
+            sk_all = jax.lax.dynamic_update_slice(
+                sk_all,
+                kh_new[None].astype(sk_all.dtype),
+                (layer_idx, 0, 0, write_pos, 0),
+            )
+            sv_all = jax.lax.dynamic_update_slice(
+                sv_all,
+                vh_new[None].astype(sv_all.dtype),
+                (layer_idx, 0, 0, write_pos, 0),
+            )
+            k_full = jax.lax.dynamic_index_in_dim(
+                sk_all, layer_idx, 0, keepdims=False
+            )
+            v_full = jax.lax.dynamic_index_in_dim(
+                sv_all, layer_idx, 0, keepdims=False
+            )
+            attn_out = attention_decode(
+                qh, k_full.astype(compute_dtype), v_full.astype(compute_dtype),
+                mask=mask, k_transposed=False,
+            )
         h = h + linear(block_params["attn"]["out"], _merge_heads(attn_out))
 
         # cross-attention over precomputed audio keys/values; grouped rows
