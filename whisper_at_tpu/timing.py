@@ -139,35 +139,72 @@ def find_alignment(
     ]
 
 
-def merge_punctuations(alignment: List[WordTiming], prepended: str, appended: str):
-    """Fold leading/trailing punctuation into adjacent words (timing.py:258-289)."""
-    i = len(alignment) - 2
-    j = len(alignment) - 1
-    while i >= 0:
-        previous = alignment[i]
-        following = alignment[j]
-        if previous.word.startswith(" ") and previous.word.strip() in prepended:
-            following.word = previous.word + following.word
-            following.tokens = previous.tokens + following.tokens
-            previous.word = ""
-            previous.tokens = []
-        else:
-            j = i
-        i -= 1
+def _glue(source: WordTiming, target: WordTiming, source_first: bool) -> None:
+    """Move `source`'s text+tokens into `target`, emptying the source."""
+    if source_first:
+        target.word = source.word + target.word
+        target.tokens = source.tokens + target.tokens
+    else:
+        target.word = target.word + source.word
+        target.tokens = target.tokens + source.tokens
+    source.word = ""
+    source.tokens = []
 
-    i = 0
-    j = 1
-    while j < len(alignment):
-        previous = alignment[i]
-        following = alignment[j]
-        if not previous.word.endswith(" ") and following.word in appended:
-            previous.word = previous.word + following.word
-            previous.tokens = previous.tokens + following.tokens
-            following.word = ""
-            following.tokens = []
+
+def merge_punctuations(alignment: List[WordTiming], prepended: str,
+                       appended: str) -> None:
+    """Fold hanging punctuation into its neighbor word in place
+    (reference behavior, timing.py:258-289).
+
+    Opening marks ("¿", "(", …) that the tokenizer split off as their own
+    space-prefixed words glue FORWARD onto the word that follows; scanning
+    right-to-left lets chains collapse into one target. Closing marks
+    (".", ",", …) glue BACKWARD onto the word before, scanning
+    left-to-right, but never across an explicit trailing space. Emptied
+    entries stay in the list (their token budget matters for segment
+    attribution) with word == "".
+    """
+    anchor = len(alignment) - 1  # word currently absorbing opening marks
+    for i in range(len(alignment) - 2, -1, -1):
+        cur = alignment[i]
+        if cur.word.startswith(" ") and cur.word.strip() in prepended:
+            _glue(cur, alignment[anchor], source_first=True)
         else:
-            i = j
-        j += 1
+            anchor = i
+
+    anchor = 0  # word currently absorbing closing marks
+    for j in range(1, len(alignment)):
+        cur = alignment[j]
+        if not alignment[anchor].word.endswith(" ") and cur.word in appended:
+            _glue(cur, alignment[anchor], source_first=False)
+        else:
+            anchor = j
+
+
+def _words_per_segment(
+    alignment: List[WordTiming],
+    tokens_per_segment: List[List[int]],
+    time_offset: float,
+):
+    """Walk the merged alignment once, carving word dicts out per segment
+    by consuming each segment's token budget (empty glued entries spend
+    budget but emit nothing)."""
+    cursor = 0
+    for seg_tokens in tokens_per_segment:
+        budget = len(seg_tokens)
+        words = []
+        while cursor < len(alignment) and budget > 0:
+            timing = alignment[cursor]
+            if timing.word:
+                words.append(dict(
+                    word=timing.word,
+                    start=round(time_offset + timing.start, 2),
+                    end=round(time_offset + timing.end, 2),
+                    probability=timing.probability,
+                ))
+            budget -= len(timing.tokens)
+            cursor += 1
+        yield words
 
 
 def add_word_timestamps(
@@ -181,49 +218,37 @@ def add_word_timestamps(
     append_punctuations: str = "\"'.。,，!！?？:：”)]}、",
     **kwargs,
 ):
-    """Distribute word timings into segments (whisper_at/timing.py:292-352)."""
+    """Attach per-word timings to every segment (reference semantics,
+    whisper_at/timing.py:292-352): align the window's full text once, merge
+    punctuation, then distribute words to segments by token count and snap
+    segment boundaries to their first/last word."""
     if len(segments) == 0:
         return
 
-    text_tokens_per_segment = [
+    tokens_per_segment = [
         [token for token in segment["tokens"] if token < tokenizer.eot]
         for segment in segments
     ]
-
-    text_tokens = [t for seg in text_tokens_per_segment for t in seg]
-    alignment = find_alignment(model, tokenizer, text_tokens, mel, num_frames, **kwargs)
+    alignment = find_alignment(
+        model, tokenizer,
+        [t for seg in tokens_per_segment for t in seg],
+        mel, num_frames, **kwargs,
+    )
     merge_punctuations(alignment, prepend_punctuations, append_punctuations)
 
     time_offset = segments[0]["seek"] * HOP_LENGTH / SAMPLE_RATE
-    word_index = 0
-
-    for segment, seg_text_tokens in zip(segments, text_tokens_per_segment):
-        saved_tokens = 0
-        words = []
-
-        while word_index < len(alignment) and saved_tokens < len(seg_text_tokens):
-            timing = alignment[word_index]
-            if timing.word:
-                words.append(
-                    dict(
-                        word=timing.word,
-                        start=round(time_offset + timing.start, 2),
-                        end=round(time_offset + timing.end, 2),
-                        probability=timing.probability,
-                    )
-                )
-            saved_tokens += len(timing.tokens)
-            word_index += 1
-
-        if len(words) > 0:
-            segment["start"] = words[0]["start"]
-            if (
-                segment["end"] > words[-1]["start"]
-                and segment["end"] + 0.5 < words[-1]["end"]
-            ):
-                # prefer the segment-level end when the last word runs long
-                words[-1]["end"] = segment["end"]
-            else:
-                segment["end"] = words[-1]["end"]
-
+    for segment, words in zip(
+        segments,
+        _words_per_segment(alignment, tokens_per_segment, time_offset),
+    ):
         segment["words"] = words
+        if not words:
+            continue
+        segment["start"] = words[0]["start"]
+        last = words[-1]
+        if segment["end"] > last["start"] and segment["end"] + 0.5 < last["end"]:
+            # the aligned last word runs suspiciously long past the
+            # timestamp-token end: trust the segment-level end instead
+            last["end"] = segment["end"]
+        else:
+            segment["end"] = last["end"]
