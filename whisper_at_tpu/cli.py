@@ -15,13 +15,15 @@ from .transcribe import transcribe
 from .utils import get_writer, optional_float, optional_int, str2bool
 
 
-def cli():
+def cli(argv=None):
     from . import available_models, load_model
 
     # fmt: off
     parser = argparse.ArgumentParser(formatter_class=argparse.ArgumentDefaultsHelpFormatter)
     parser.add_argument("audio", nargs="+", type=str, help="audio file(s) to transcribe")
-    parser.add_argument("--model", default="small", choices=available_models(), help="name of the Whisper model to use")
+    parser.add_argument("--model", default="small", help="name of the Whisper model to use, or a path to a local checkpoint (.npz native format, or a Whisper .pt — pair the latter with --at_checkpoint for tagging)")
+    parser.add_argument("--at_checkpoint", type=str, default=None, help="local TL-TR head .pth to merge when --model is a local .pt")
+    parser.add_argument("--batched", type=str2bool, default=False, help="use the batched TPU fast path (all 30s windows decode in parallel; implies condition_on_previous_text=False)")
     parser.add_argument("--model_dir", type=str, default=None, help="the path to save model files; uses ~/.cache/whisper by default")
     parser.add_argument("--output_dir", "-o", type=str, default=".", help="directory to save the outputs")
     parser.add_argument("--output_format", "-f", type=str, default="all", choices=["txt", "vtt", "srt", "tsv", "json", "all"], help="format of the output file; if not specified, all available formats will be produced")
@@ -56,13 +58,21 @@ def cli():
     parser.add_argument("--max_line_count", type=optional_int, default=None, help="(requires --word_timestamps True) the maximum number of lines in a segment")
     # fmt: on
 
-    args = parser.parse_args().__dict__
+    args = parser.parse_args(argv).__dict__
     model_name: str = args.pop("model")
+    at_checkpoint = args.pop("at_checkpoint")
+    batched: bool = args.pop("batched")
     model_dir: str = args.pop("model_dir")
     output_dir: str = args.pop("output_dir")
     output_format: str = args.pop("output_format")
     at_low_compute: bool = args.pop("at_low_compute")
     os.makedirs(output_dir, exist_ok=True)
+
+    if model_name not in available_models() and not os.path.isfile(model_name):
+        parser.error(
+            f"--model must be an official name {available_models()} or a "
+            f"local checkpoint path; got {model_name!r}"
+        )
 
     if model_name.endswith(".en") and args["language"] not in {"en", "English"}:
         if args["language"] is not None:
@@ -89,11 +99,21 @@ def cli():
         warnings.warn("--max_line_count has no effect without --max_line_width")
     writer_args = {arg: args.pop(arg) for arg in word_options}
 
-    model = load_model(model_name, download_root=model_dir, at_low_compute=at_low_compute)
+    model = load_model(model_name, download_root=model_dir,
+                       at_low_compute=at_low_compute,
+                       at_checkpoint=at_checkpoint)
 
     writer = get_writer(output_format, output_dir)
-    for audio_path in args.pop("audio"):
-        result = transcribe(model, audio_path, temperature=temperature, **args)
+    audio_paths = args.pop("audio")
+    if batched:
+        from .transcribe import transcribe_batched
+
+        args.pop("condition_on_previous_text", None)  # windows are parallel
+        run = transcribe_batched
+    else:
+        run = transcribe
+    for audio_path in audio_paths:
+        result = run(model, audio_path, temperature=temperature, **args)
         writer(result, audio_path, writer_args)
 
 
