@@ -125,10 +125,12 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--root", default="/tmp/wat_trajectory")
     parser.add_argument("--model", default="tiny", help="feature-source size")
-    parser.add_argument("--epochs", type=int, default=8)
+    parser.add_argument("--epochs", type=int, default=10)
     parser.add_argument("--n-train", type=int, default=96)
     parser.add_argument("--n-eval", type=int, default=32)
-    parser.add_argument("--lr", type=float, default=5e-3)
+    # 2e-4 learns cleanly on this corpus; 1e-3+ oscillates around chance
+    # (a 6-class head sees only ~8 steps/epoch here)
+    parser.add_argument("--lr", type=float, default=2e-4)
     args = parser.parse_args()
 
     print(f"=== corpus: {args.n_train} train / {args.n_eval} eval clips, "
@@ -176,7 +178,7 @@ def main():
     # --- the trajectory (reference logs' analogue): result.csv per epoch ---
     with open(os.path.join(exp_dir, "result.csv")) as f:
         rows = [r for r in csv.reader(f) if r]
-    maps = [float(r[0]) for r in rows]
+    maps = [float(r[1]) for r in rows]  # columns: acc, mAP, mAUC, lr
     print("\nepoch  eval mAP")
     for e, m in enumerate(maps, 1):
         print(f"{e:5d}  {m:.4f}")

@@ -9,9 +9,11 @@ ENV = {**os.environ, "JAX_PLATFORMS": "cpu"}
 
 
 def run_cli(*args):
+    # generous timeout: the end-to-end runs jit-compile a dozen programs on
+    # the CPU backend (~2 min cold) and the suite may share the machine
     return subprocess.run(
         [sys.executable, "-m", "whisper_at_tpu", *args],
-        capture_output=True, text=True, cwd=REPO, env=ENV, timeout=120,
+        capture_output=True, text=True, cwd=REPO, env=ENV, timeout=600,
     )
 
 
