@@ -316,3 +316,64 @@ def test_beam_patience_matches_oracle(model, mel):
     np.testing.assert_allclose(
         result.avg_logprob, best[1] / (len(best[0]) + 1), rtol=1e-3, atol=1e-3
     )
+
+
+def test_fused_cross_kv_layout_matches_heads_layout(model, mel):
+    """The fused int8 cross-KV layout (pallas decode kernel + padded-einsum
+    prefill, ops/cross_decode.py) must reproduce the heads-layout int8 path
+    through decoder_forward: greedy step (kernel, G=1), beam step (kernel,
+    G>1), and a wide prefill (einsum branch over the padded layout)."""
+    from whisper_at_tpu.models.decoder import (
+        decoder_forward, init_cache, precompute_cross_kv)
+
+    audio_features, _ = model.embed_audio(mel, fp16=False)
+    dec_params = model.decoder_params_decode(False)
+    nh = DIMS.n_text_head
+    kv_h = precompute_cross_kv(dec_params, audio_features, nh,
+                               jnp.float32, quantize=True, layout="heads")
+    kv_f = precompute_cross_kv(dec_params, audio_features, nh,
+                               jnp.float32, quantize=True, layout="fused")
+    rng = np.random.default_rng(11)
+
+    def run(kv, tokens, group=1, write_pos=0):
+        b = tokens.shape[0]
+        sk, sv = init_cache(DIMS.n_text_layer, b, 96, DIMS.n_text_state,
+                            jnp.float32, nh)
+        h, _, _ = decoder_forward(
+            dec_params, tokens, kv[0], kv[1], sk, sv, jnp.int32(write_pos),
+            jnp.int32(0), nh, jnp.float32, group=group)
+        return np.asarray(h)
+
+    # greedy decode step: S=1, G=1 -> kernel branch (interpret on CPU)
+    tok = jnp.asarray(rng.integers(0, 1000, (2, 1)), jnp.int32)
+    np.testing.assert_allclose(run(kv_h, tok), run(kv_f, tok),
+                               rtol=2e-4, atol=2e-4)
+
+    # beam step: 3 hypotheses per audio ride the group axis -> kernel, G=3
+    tok_b = jnp.asarray(rng.integers(0, 1000, (6, 1)), jnp.int32)
+    np.testing.assert_allclose(run(kv_h, tok_b, group=3),
+                               run(kv_f, tok_b, group=3),
+                               rtol=2e-4, atol=2e-4)
+
+    # wide prefill: H*S > 256 forces the padded-einsum branch
+    tok_w = jnp.asarray(rng.integers(0, 1000, (2, 70)), jnp.int32)
+    np.testing.assert_allclose(run(kv_h, tok_w), run(kv_f, tok_w),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_layout_decode_loop(model, mel):
+    """Full decode() with the fused cross-KV layout (as selected on TPU when
+    kv_quant is on) must emit the same tokens as the heads layout, greedy
+    and beam — covers the sample loops' layout-dependent shape derivations,
+    not just decoder_forward."""
+    base = dict(language="en", fp16=False, sample_len=14, kv_quant=True)
+    g1 = decode(model, mel[0], DecodingOptions(**base, kv_layout="heads"))
+    g2 = decode(model, mel[0], DecodingOptions(**base, kv_layout="fused"))
+    assert g1.tokens == g2.tokens
+    assert abs(g1.avg_logprob - g2.avg_logprob) < 1e-3
+
+    b1 = decode(model, mel[0], DecodingOptions(**base, beam_size=2,
+                                               kv_layout="heads"))
+    b2 = decode(model, mel[0], DecodingOptions(**base, beam_size=2,
+                                               kv_layout="fused"))
+    assert b1.tokens == b2.tokens

@@ -77,6 +77,10 @@ class DecodingOptions:
     # most in beam search, where the whole cache is re-gathered along the
     # beam axis every step. Off by default pending real-checkpoint parity.
     self_kv_quant: bool = False
+    # cross-KV tensor layout: None = auto ("fused" pallas-kernel layout on
+    # TPU when kv_quant, "heads" elsewhere); tests force "fused" on CPU to
+    # exercise the kernel path (interpret mode) end to end.
+    kv_layout: Optional[str] = None
 
 
 @dataclass(frozen=False)
@@ -228,7 +232,9 @@ def greedy_sample_loop(
     # rows per shared audio (best-of groups): cross tensors keep one row per
     # audio; the decoder folds grouped rows into the attention sequence axis
     group = b // _ck_arr.shape[1]
-    d = _ck_arr.shape[2] * _ck_arr.shape[3]  # H * Dh
+    # H*Dh: heads layout [L, A, H, Dh, Ta] vs fused [L, A, H*Dh, Ta_pad]
+    d = (_ck_arr.shape[2] if _ck_arr.ndim == 4
+         else _ck_arr.shape[2] * _ck_arr.shape[3])
     self_k, self_v = init_cache(n_layer, b, total, d, compute_dtype, n_head,
                             quantize=self_kv_quant)
 
@@ -381,7 +387,9 @@ def beam_sample_loop(
     # audio (group = k_beam) — or bk rows if the caller pre-repeated them
     group = bk // _ck_arr.shape[1]
     a_audio = bk // k_beam
-    d = _ck_arr.shape[2] * _ck_arr.shape[3]  # H * Dh
+    # H*Dh: heads layout [L, A, H, Dh, Ta] vs fused [L, A, H*Dh, Ta_pad]
+    d = (_ck_arr.shape[2] if _ck_arr.ndim == 4
+         else _ck_arr.shape[2] * _ck_arr.shape[3])
     c_cap = max_candidates
 
     self_k, self_v = init_cache(n_layer, bk, total, d, compute_dtype, n_head,
@@ -716,10 +724,17 @@ class DecodingTask:
             buf = jnp.repeat(buf, n_group, axis=0)
 
         dec_params = self.model.decoder_params_decode(options.weight_quant)
+        # "fused" lays the int8 KV out for the pallas decode kernel
+        # (ops/cross_decode.py) — the decode loop's dominant-stream fast path
+        # on TPU; elsewhere the XLA einsum path keeps the head layout
+        kv_layout = options.kv_layout or ("fused" if (
+            options.kv_quant and jax.default_backend() == "tpu"
+        ) else "heads")
         cross_k, cross_v = precompute_cross_kv(
             dec_params, audio_features,
             self.model.dims.n_text_head, compute_dtype,
             quantize=options.kv_quant,
+            layout=kv_layout,
         )
 
         if options.beam_size is not None:

@@ -16,6 +16,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from ..ops.cross_decode import cross_attention_int8, pad_ta
 from .layers import (
     attention,
     init_block,
@@ -185,13 +186,16 @@ def _quantize_sym(x: jnp.ndarray, axis: int) -> dict:
     return {"q": q, "s": scale}
 
 
-@partial(jax.jit, static_argnames=("n_head", "compute_dtype", "quantize"))
+@partial(
+    jax.jit, static_argnames=("n_head", "compute_dtype", "quantize", "layout")
+)
 def precompute_cross_kv(
     params: dict,
     xa: jnp.ndarray,
     n_head: int,
     compute_dtype=jnp.float32,
     quantize: bool = False,
+    layout: str = "heads",
 ):
     """Cross-attention keys/values for all layers, computed once per decode.
 
@@ -203,6 +207,13 @@ def precompute_cross_kv(
     ({"q": int8, "s": fp32}) — the decode loop's dominant HBM stream halves,
     and the scales factor out of the attention matmuls exactly (K per
     position, V folded into the softmax weights).
+
+    layout="fused" (requires quantize) lays the int8 tensors out for the
+    fused pallas decode kernel (ops/cross_decode.py): K [L, B, H*Dh, Ta_pad]
+    with Ta padded to a lane multiple, V [L, B, Ta_pad, H*Dh], scales
+    [L, B, H, Ta_pad], plus an additive column bias "m" [L, 1, Ta_pad]
+    masking the padding. The XLA einsum path consumes the same layout via
+    reshape, so one precompute serves kernel steps and einsum prefills.
     """
     xa = xa.astype(compute_dtype)
 
@@ -211,7 +222,34 @@ def precompute_cross_kv(
         k = _split_kt(linear(ca["key"], xa), n_head)  # [B, H, Dh, Ta]
         v = _split_v(linear(ca["value"], xa), n_head)  # [B, H, Ta, Dh]
         if quantize:
-            return None, (_quantize_sym(k, axis=-2), _quantize_sym(v, axis=-1))
+            kq = _quantize_sym(k, axis=-2)
+            vq = _quantize_sym(v, axis=-1)
+            if layout == "fused":
+                b, h, dh, ta = k.shape
+                ta_pad = pad_ta(ta)
+                pad = ta_pad - ta
+                kf = jnp.pad(
+                    kq["q"].reshape(b, h * dh, ta), ((0, 0), (0, 0), (0, pad))
+                )
+                ks = jnp.pad(
+                    kq["s"][:, :, 0, :], ((0, 0), (0, 0), (0, pad))
+                )
+                vf = jnp.pad(
+                    vq["q"].transpose(0, 2, 1, 3).reshape(b, ta, h * dh),
+                    ((0, 0), (0, pad), (0, 0)),
+                )
+                vs = jnp.pad(
+                    vq["s"][..., 0], ((0, 0), (0, 0), (0, pad))
+                )
+                mask = jnp.concatenate(
+                    [jnp.zeros((1, ta), jnp.float32),
+                     jnp.full((1, pad), -1e30, jnp.float32)], axis=1,
+                )
+                return None, (
+                    {"q": kf, "s": ks, "m": mask},
+                    {"q": vf, "s": vs},
+                )
+            return None, (kq, vq)
         return None, (k, v)
 
     _, (ck, cv) = jax.lax.scan(body, None, params["blocks"])
@@ -368,7 +406,43 @@ def decoder_forward(
                 .transpose(0, 2, 1, 3, 4)
                 .reshape(b_ // group, h_heads, group * s_, dh_)
             )
-        if isinstance(ck, dict):  # int8-quantized cross KV
+        if isinstance(ck, dict) and "m" in ck:  # fused int8 layout
+            a_, h_heads, t2_, dh_ = qh_c.shape
+            scale = dh_ ** -0.5  # exact in bf16 for Dh=64 (power of two)
+            if h_heads * t2_ <= 256:
+                # decode steps / small prefills: one-matmul pallas kernel
+                # reads the int8 KV stream directly (no bf16 materialization)
+                q_rows = (qh_c * scale).reshape(a_, h_heads * t2_, dh_)
+                out = cross_attention_int8(
+                    q_rows.astype(compute_dtype),
+                    ck["q"], ck["s"], cv["q"], cv["s"], ck["m"],
+                    n_head=h_heads,
+                    interpret=jax.default_backend() != "tpu",
+                )
+                attn_out = out.reshape(a_, h_heads, t2_, dh_).astype(
+                    compute_dtype
+                )
+            else:
+                # wide prefills (beam x bucket rows): einsum on the same
+                # layout; the additive bias masks the Ta padding
+                ta_pad = ck["q"].shape[-1]
+                ck4 = ck["q"].reshape(a_, h_heads, dh_, ta_pad)
+                qk = (
+                    jnp.einsum(
+                        "bhtd,bhds->bhts", qh_c, ck4.astype(compute_dtype),
+                        preferred_element_type=jnp.float32,
+                    )
+                    * ck["s"][:, :, None, :]
+                    * jnp.float32(scale)
+                    + ck["m"][0]
+                )
+                w = jax.nn.softmax(qk, axis=-1)
+                w = (w * cv["s"][:, :, None, :]).astype(compute_dtype)
+                cv4 = cv["q"].reshape(a_, ta_pad, h_heads, dh_)
+                attn_out = jnp.einsum(
+                    "bhts,bshd->bhtd", w, cv4.astype(compute_dtype)
+                )
+        elif isinstance(ck, dict):  # int8-quantized cross KV (head layout)
             scale = jnp.float32(qh_c.shape[-1] ** -0.5)
             qk = (
                 jnp.einsum(

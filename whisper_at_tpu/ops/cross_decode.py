@@ -1,0 +1,173 @@
+"""Fused int8 cross-attention for the token-at-a-time decode loop.
+
+The decode loop's dominant HBM stream is the per-layer cross-attention KV
+(~31 MB int8 per layer for large-v1 batch 8; ~1 GB per token across 32
+layers). The XLA formulation (`ck.astype(bf16)` einsums in
+models/decoder.py) materializes dequantized bf16 copies of the KV,
+tripling the traffic — measured 3.56 ms of the 5.99 ms decode step on v5e
+at ~34% of the int8 byte bound.
+
+This kernel streams the int8 KV through VMEM once and dequantizes in
+registers. The key design point — and the fix for the earlier, slower
+attempt in ops/flash_decode.py — is the *block-diagonal head fold*: instead
+of H separate M=1 matvecs per batch row (each with ~0.2 us MXU issue
+overhead, 960 per layer), the per-head queries are expanded into a
+block-diagonal [H*G, H*Dh] matrix so the whole QK^T phase is ONE MXU matmul
+against the [H*Dh, Ta] key block, and the PV phase is ONE [H*G, Ta] x
+[Ta, H*Dh] matmul whose block diagonal is then extracted with H masked
+lane-slice adds. Grid = (batch,); each step's ~4 MB KV block DMA is
+double-buffered by pallas across grid steps.
+
+Numerics match the XLA int8 path: int8 -> bf16 dequant (in-kernel), bf16
+MXU matmuls with fp32 accumulation, fp32 softmax, per-key-position V scales
+folded into the softmax weights. G query rows per audio (beam search /
+prefill tokens) ride the M axis of the same two matmuls.
+
+Layouts (prepared by models/decoder.precompute_cross_kv(layout="fused")):
+  k_q [B, H*Dh, Ta_pad] int8     k_s [B, H, Ta_pad] fp32
+  v_q [B, Ta_pad, H*Dh] int8     v_s [B, H, Ta_pad] fp32
+  bias [1, Ta_pad] fp32          (0 on valid columns, -1e30 on padding)
+Ta is padded to a lane multiple; padded columns carry zero scales and the
+additive bias masks them out of the softmax.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    HAVE_PALLAS = True
+except ImportError:  # pragma: no cover
+    HAVE_PALLAS = False
+
+LANE = 128
+NEG_BIG = -1e30
+_CHUNK = 512  # Ta positions dequantized/matmul'd per in-kernel slice
+_VMEM_LIMIT = None  # bytes; None = Mosaic default
+
+
+def pad_ta(ta: int) -> int:
+    return -(-ta // LANE) * LANE
+
+
+def _kernel(q_ref, kq_ref, ks_ref, vq_ref, vs_ref, bias_ref, out_ref,
+            *, n_head, d_head, groups, chunk):
+    hg = n_head * groups
+    hd = n_head * d_head
+    ta = kq_ref.shape[-1]
+    f32 = jnp.float32
+
+    # ---- QK^T: one MXU matmul via the block-diagonal head fold ---------- #
+    q = q_ref[0]  # [HG, Dh] bf16 (pre-scaled by dh^-0.5)
+    q_tiled = pltpu.repeat(q, n_head, axis=1)  # [HG, H*Dh]
+    col_head = jax.lax.broadcasted_iota(jnp.int32, (hg, hd), 1) // d_head
+    row_head = jax.lax.broadcasted_iota(jnp.int32, (hg, hd), 0) // groups
+    q_diag = jnp.where(col_head == row_head, q_tiled, 0).astype(q.dtype)
+
+    # bf16 operands accumulate in f32 natively on the MXU (and Mosaic
+    # rejects an explicit HIGHEST for them); fp32 operands — the CPU test
+    # path — need HIGHEST to avoid bf16 truncation
+    prec = (jax.lax.Precision.HIGHEST if q_ref.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    raw = jnp.concatenate(
+        [
+            jnp.dot(q_diag, kq_ref[0, :, c:c + chunk].astype(q.dtype),
+                    preferred_element_type=f32, precision=prec)
+            for c in range(0, ta, chunk)
+        ],
+        axis=-1,
+    )  # [HG, Ta] fp32
+
+    # per-(head, position) K scales; padding masked by the additive bias
+    k_s = ks_ref[0]  # [H, Ta] fp32
+    if groups > 1:
+        k_s = pltpu.repeat(k_s, groups, axis=0).reshape(groups, n_head, ta)
+        k_s = k_s.transpose(1, 0, 2).reshape(hg, ta)
+    logits = raw * k_s + bias_ref[0][None, :]
+
+    # ---- fp32 softmax over the full (in-VMEM) key axis ------------------ #
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)  # [HG, Ta] fp32
+
+    # fold per-position V scales into the weights (decoder.py int8 path)
+    v_s = vs_ref[0]
+    if groups > 1:
+        v_s = pltpu.repeat(v_s, groups, axis=0).reshape(groups, n_head, ta)
+        v_s = v_s.transpose(1, 0, 2).reshape(hg, ta)
+    pw = (p * v_s).astype(q.dtype)  # [HG, Ta] bf16
+
+    # ---- PV: one MXU matmul, then extract the block diagonal ------------ #
+    full = None
+    for c in range(0, ta, chunk):
+        part = jnp.dot(pw[:, c:c + chunk],
+                       vq_ref[0, c:c + chunk, :].astype(q.dtype),
+                       preferred_element_type=f32, precision=prec)
+        full = part if full is None else full + part  # [HG, H*Dh]
+
+    row_h = jax.lax.broadcasted_iota(jnp.int32, (hg, d_head), 0) // groups
+    out = jnp.zeros((hg, d_head), f32)
+    for h in range(n_head):
+        blk = full[:, h * d_head:(h + 1) * d_head]
+        out = out + jnp.where(row_h == h, blk, 0.0)
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("n_head", "interpret", "chunk"))
+def cross_attention_int8(
+    q: jnp.ndarray,     # [B, H*G, Dh] bf16/f32, ALREADY scaled by dh**-0.5
+    k_q: jnp.ndarray,   # [B, H*Dh, Ta_pad] int8
+    k_s: jnp.ndarray,   # [B, H, Ta_pad] fp32
+    v_q: jnp.ndarray,   # [B, Ta_pad, H*Dh] int8
+    v_s: jnp.ndarray,   # [B, H, Ta_pad] fp32
+    bias: jnp.ndarray,  # [1, Ta_pad] fp32 additive column mask
+    n_head: int,
+    interpret: bool = False,
+    chunk: int = None,
+) -> jnp.ndarray:
+    """out [B, H*G, Dh] fp32 = softmax(q k^T + bias) v over int8 KV, per head.
+
+    Query rows are ordered head-major: row h*G + g is head h, group row g
+    (beam hypothesis / prefill token). G = q.shape[1] // n_head.
+    """
+    b, hg, dh = q.shape
+    groups = hg // n_head
+    assert hg == n_head * groups
+    ta = k_q.shape[-1]
+    if chunk is None:
+        chunk = _CHUNK
+    kernel = partial(_kernel, n_head=n_head, d_head=dh, groups=groups,
+                     chunk=chunk)
+    compiler_params = None
+    if not interpret:
+        compiler_params = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        )
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        compiler_params=compiler_params,
+        in_specs=[
+            pl.BlockSpec((1, hg, dh), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_q.shape[1], ta), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_head, ta), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ta, v_q.shape[2]), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_head, ta), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ta), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, hg, dh), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, hg, dh), jnp.float32),
+        interpret=interpret,
+    )(q, k_q, k_s, v_q, v_s, bias)
