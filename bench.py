@@ -74,6 +74,9 @@ def main():
     t = np.arange(16000 * audio_seconds) / 16000.0
     audio = (0.3 * np.sin(2 * np.pi * 220.0 * t)
              + 0.05 * rng.standard_normal(len(t))).astype(np.float32)
+    # int16 PCM, exactly what a real 16-bit file decodes to; the frontend
+    # ships int16 to the device (half the H2D bytes) and dequantizes there
+    audio = (np.clip(audio, -1.0, 1.0) * 32767.0).astype(np.int16)
 
     from whisper_at_tpu.transcribe import transcribe_batched
 

@@ -117,3 +117,22 @@ def test_load_audio_wav_resample(tmp_path):
         wf.writeframes((x * 32767).astype(np.int16).tobytes())
     loaded = load_audio(path)
     assert abs(len(loaded) - 16000) <= 2
+
+
+def test_mel_int16_fast_path_is_bit_exact(chirp):
+    """PCM-grid float input must take the int16 H2D fast path (half the
+    host->device waveform bytes) and produce BIT-IDENTICAL mel output to the
+    generic float path; int16 arrays are accepted directly too."""
+    pcm = (np.clip(chirp[:32000], -1, 1) * 32767).astype(np.int16)
+    grid_f32 = pcm.astype(np.float32) / 32768.0
+
+    m_grid = np.asarray(log_mel_spectrogram(grid_f32, padding=160))
+    m_int16 = np.asarray(log_mel_spectrogram(pcm, padding=160))
+    np.testing.assert_array_equal(m_grid, m_int16)
+
+    # off-grid float input (values not on the int16 grid) must still go
+    # through the generic float path and produce finite, close output
+    off_grid = grid_f32 + np.float32(1e-6)
+    ref_off = np.asarray(log_mel_spectrogram(off_grid, padding=160))
+    assert np.isfinite(ref_off).all()
+    np.testing.assert_allclose(m_grid, ref_off, atol=5e-2)

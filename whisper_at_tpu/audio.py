@@ -42,6 +42,7 @@ __all__ = [
     "FRAMES_PER_SECOND",
     "TOKENS_PER_SECOND",
     "load_audio",
+    "load_audio_pcm16",
     "pad_or_trim",
     "mel_filters",
     "log_mel_spectrogram",
@@ -125,6 +126,40 @@ def load_audio(file: str, sr: int = SAMPLE_RATE) -> np.ndarray:
     )
 
 
+def load_audio_pcm16(file: str, sr: int = SAMPLE_RATE) -> np.ndarray:
+    """Open an audio file as mono int16 PCM at `sr` Hz when losslessly
+    possible, else fall back to `load_audio`'s float32.
+
+    The mel frontend ships int16 waveforms to the device at half the bytes
+    and dequantizes there (x / 32768) — bit-identical to loading float32,
+    since both start from the same int16 decode. The transcribe paths use
+    this internally for file inputs; the float32 `load_audio` remains the
+    reference-parity public API.
+    """
+    if shutil.which("ffmpeg") is not None:
+        cmd = [
+            "ffmpeg", "-nostdin", "-threads", "0", "-i", file,
+            "-f", "s16le", "-ac", "1", "-acodec", "pcm_s16le",
+            "-ar", str(sr), "-",
+        ]
+        try:
+            out = subprocess.run(cmd, capture_output=True, check=True).stdout
+        except subprocess.CalledProcessError as e:
+            raise RuntimeError(
+                f"Failed to load audio: {e.stderr.decode()}"
+            ) from e
+        return np.frombuffer(out, np.int16).flatten()
+    if file.lower().endswith(".wav"):
+        with wave.open(file, "rb") as wf:
+            if wf.getsampwidth() == 2 and wf.getnchannels() == 1 \
+                    and wf.getframerate() == sr:
+                return np.frombuffer(
+                    wf.readframes(wf.getnframes()), np.int16
+                ).flatten()
+        return _load_audio_wav(file, sr)
+    return load_audio(file, sr)
+
+
 def pad_or_trim(array, length: int = N_SAMPLES, *, axis: int = -1):
     """Pad with zeros or trim the array to `length` along `axis`.
 
@@ -161,5 +196,8 @@ def log_mel_spectrogram(
     """
     assert n_mels == N_MELS, f"Unsupported n_mels: {n_mels}"
     if isinstance(audio, str):
-        audio = load_audio(audio)
+        # int16 when losslessly possible: halves the host->device waveform
+        # transfer; the device dequant (x / 32768) reproduces load_audio's
+        # float32 bit-for-bit
+        audio = load_audio_pcm16(audio)
     return log_mel_spectrogram_jax(np.asarray(audio), padding=padding)
