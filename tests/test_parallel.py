@@ -158,3 +158,50 @@ def test_mesh_inference_with_quantization(devices_ok):
     mesh = make_mesh(n_devices=2, tp=1)
     sharded = wat.transcribe_batched(model, audio, mesh=mesh, max_batch=2, **kwargs)
     assert sharded["text"] == single["text"]
+
+
+def test_tensor_parallel_decode_matches_single_device(devices_ok):
+    """Megatron-split decoder over tp must reproduce the unsharded tokens:
+    greedy and beam, fp and int8 weights. GSPMD propagates head-sharding
+    into the KV caches from the placements alone."""
+    from whisper_at_tpu.decoding import DecodingOptions, decode
+    from whisper_at_tpu.models.dims import ModelDimensions
+    from whisper_at_tpu.models.whisper import Whisper
+    from whisper_at_tpu.parallel.inference import place_model_tp
+
+    dims = ModelDimensions(
+        n_mels=80, n_audio_ctx=1500, n_audio_state=64, n_audio_head=4,
+        n_audio_layer=2, n_vocab=51865, n_text_ctx=448, n_text_head=4,
+        n_text_state=64, n_text_layer=2,
+    )
+    rng = np.random.default_rng(5)
+    mel = jnp.asarray(
+        rng.standard_normal((1, 80, 3000)).astype(np.float32) * 0.4)
+
+    base = dict(language="en", fp16=False, sample_len=12)
+    ref_model = Whisper(dims, seed=7)
+    ref_g = decode(ref_model, mel[0], DecodingOptions(**base))
+    ref_q = decode(ref_model, mel[0],
+                   DecodingOptions(**base, weight_quant=True, kv_quant=True))
+    ref_b = decode(ref_model, mel[0], DecodingOptions(**base, beam_size=2))
+
+    mesh = make_mesh(n_devices=4, dp=2, tp=2)
+    tp_model = place_model_tp(Whisper(dims, seed=7), mesh)
+    # decoder placements: fused qkv column-split, out row-split, tied
+    # embedding vocab-split
+    qkv = tp_model.decoder_params_fused["blocks"]["attn"]["qkv"]["w"]
+    assert tuple(qkv.sharding.spec) == (None, None, "tp")
+    out_w = tp_model.decoder_params_fused["blocks"]["attn"]["out"]["w"]
+    assert tuple(out_w.sharding.spec) == (None, "tp", None)
+
+    got_g = decode(tp_model, mel[0], DecodingOptions(**base))
+    assert got_g.tokens == ref_g.tokens
+    np.testing.assert_allclose(got_g.avg_logprob, ref_g.avg_logprob,
+                               rtol=1e-4, atol=1e-4)
+
+    got_q = decode(tp_model, mel[0],
+                   DecodingOptions(**base, weight_quant=True, kv_quant=True))
+    assert got_q.tokens == ref_q.tokens
+
+    got_b = decode(tp_model, mel[0], DecodingOptions(**base, beam_size=2))
+    assert got_b.tokens == ref_b.tokens

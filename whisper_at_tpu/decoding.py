@@ -727,8 +727,13 @@ class DecodingTask:
         # "fused" lays the int8 KV out for the pallas decode kernel
         # (ops/cross_decode.py) — the decode loop's dominant-stream fast path
         # on TPU; elsewhere the XLA einsum path keeps the head layout
+        # the pallas decode kernel is single-device; under a tensor-parallel
+        # mesh the XLA heads layout partitions cleanly instead
+        mesh = getattr(self.model, "_mesh", None)
+        tp = mesh.shape.get("tp", 1) if mesh is not None else 1
         kv_layout = options.kv_layout or ("fused" if (
-            options.kv_quant and jax.default_backend() == "tpu"
+            options.kv_quant and tp == 1
+            and jax.default_backend() == "tpu"
         ) else "heads")
         cross_k, cross_v = precompute_cross_kv(
             dec_params, audio_features,
