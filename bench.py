@@ -34,7 +34,11 @@ def main():
     parser.add_argument("--config", choices=sorted(CONFIGS), default=None,
                         help="BASELINE.json config preset")
     parser.add_argument("--size", default="large-v1")
-    parser.add_argument("--batch", type=int, default=8, help="30 s windows per batch")
+    parser.add_argument("--batch", type=int, default=24,
+                        help="30 s windows per batch (24 is the v5e "
+                             "throughput sweet spot: weights/logits amortize "
+                             "across rows while M stays under the 128-row "
+                             "MXU tile; 32 regresses)")
     parser.add_argument("--tokens", type=int, default=96, help="decode steps per window")
     parser.add_argument("--iters", type=int, default=2)
     parser.add_argument("--fp32", action="store_true")
