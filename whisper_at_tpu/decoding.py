@@ -160,13 +160,16 @@ def apply_logit_filters(
             last_allowed = ts_begin + max_initial_ts_index
             logits = jnp.where(at_start & (idx > last_allowed), NEG_INF, logits)
 
-        # if total timestamp probability beats any text token, force timestamp
-        logprobs = jax.nn.log_softmax(logits, axis=-1)
+        # if total timestamp probability beats any text token, force timestamp.
+        # The reference compares log_softmax outputs (logsumexp of the ts
+        # region vs max text logprob) — but the softmax normalizer cancels
+        # from both sides, so the comparison runs on the raw logits: one
+        # log_softmax materialization less per decode step.
         ts_logprob = jax.nn.logsumexp(
-            jnp.where(idx >= ts_begin, logprobs, NEG_INF), axis=-1
+            jnp.where(idx >= ts_begin, logits, NEG_INF), axis=-1
         )
         max_text = jnp.max(
-            jnp.where(idx < ts_begin, logprobs, NEG_INF), axis=-1
+            jnp.where(idx < ts_begin, logits, NEG_INF), axis=-1
         )
         force_ts = (ts_logprob > max_text)[:, None]
         logits = jnp.where(force_ts & (idx < ts_begin), NEG_INF, logits)
@@ -274,12 +277,22 @@ def greedy_sample_loop(
         )
 
         key, sub = jax.random.split(key)
-        sampled = jax.random.categorical(sub, filtered / jnp.maximum(temperature, 1e-6))
-        greedy = jnp.argmax(filtered, axis=-1)
-        next_tok = jnp.where(temperature == 0.0, greedy, sampled).astype(jnp.int32)
+        # gumbel sampling only runs when temperature > 0: lax.cond executes
+        # one branch at runtime, so the greedy path (the common case, and
+        # every fallback rung at T=0) skips the [B, V] PRNG + perturb + extra
+        # reduction entirely
+        next_tok = jax.lax.cond(
+            temperature == 0.0,
+            lambda: jnp.argmax(filtered, axis=-1).astype(jnp.int32),
+            lambda: jax.random.categorical(
+                sub, filtered / jnp.maximum(temperature, 1e-6)
+            ).astype(jnp.int32),
+        )
 
-        logprobs = jax.nn.log_softmax(filtered, axis=-1)
-        current_lp = jnp.take_along_axis(logprobs, next_tok[:, None], axis=1)[:, 0]
+        # token logprob without materializing the [B, V] log_softmax:
+        # lp[tok] = filtered[tok] - logsumexp(filtered)
+        picked = jnp.take_along_axis(filtered, next_tok[:, None], axis=1)[:, 0]
+        current_lp = picked - jax.nn.logsumexp(filtered, axis=-1)
         # accumulate while the *previous* token wasn't EOT (decoding.py:281)
         prev_is_eot = finished
         sum_lp = sum_lp + current_lp * (~prev_is_eot)
@@ -434,9 +447,11 @@ def beam_sample_loop(
             max_initial_ts_index=max_initial_ts_index,
             suppress_blank=suppress_blank, with_ts_rules=with_ts_rules,
         )
-        logprobs = jax.nn.log_softmax(filtered, axis=-1)  # [A*K, V]
-
-        top_lp, top_tok = jax.lax.top_k(logprobs, k_beam + 1)  # [A*K, K+1]
+        # top-k on the raw filtered logits (softmax is rank-preserving), then
+        # normalize only the K+1 winners — skips materializing the [A*K, V]
+        # log_softmax every step
+        top_raw, top_tok = jax.lax.top_k(filtered, k_beam + 1)  # [A*K, K+1]
+        top_lp = top_raw - jax.nn.logsumexp(filtered, axis=-1)[:, None]
         cand = (sum_lp[:, None] + top_lp).reshape(a_audio, n_cand)
         cand_tok = top_tok.reshape(a_audio, n_cand)
         # step 0: all beams share a prefix; only beam 0's candidates count
