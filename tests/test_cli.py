@@ -13,7 +13,7 @@ def run_cli(*args):
     # the CPU backend (~2 min cold) and the suite may share the machine
     return subprocess.run(
         [sys.executable, "-m", "whisper_at_tpu", *args],
-        capture_output=True, text=True, cwd=REPO, env=ENV, timeout=600,
+        capture_output=True, text=True, cwd=REPO, env=ENV, timeout=900,
     )
 
 
