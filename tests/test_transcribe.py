@@ -280,3 +280,34 @@ def test_sequential_prompt_threading_across_windows(model):
     assert result["audio_tag"].shape == (10, 527)
     seeks = {seg["seek"] for seg in result["segments"]}
     assert len(seeks) >= 3  # decoded several distinct windows
+
+
+def test_transcribe_many_matches_per_file(model):
+    """Cross-file window packing (the serving fast path) must reproduce
+    per-file transcribe_batched exactly: windows decode independently, so
+    packing them into shared device batches cannot change any output."""
+    import whisper_at_tpu as wat
+
+    rng = np.random.default_rng(21)
+    clips = [
+        (0.2 * rng.standard_normal(16000 * secs)).astype(np.float32)
+        for secs in (8, 35, 14)
+    ]
+    kwargs = dict(
+        language="en", fp16=False, temperature=0.0, sample_len=12,
+        logprob_threshold=None, compression_ratio_threshold=None,
+        no_speech_threshold=None,
+    )
+    singles = [wat.transcribe_batched(model, c, **kwargs) for c in clips]
+    packed = wat.transcribe_many(model, clips, max_batch=4, **kwargs)
+
+    assert len(packed) == len(singles)
+    for got, want in zip(packed, singles):
+        assert got["text"] == want["text"]
+        assert got["language"] == want["language"]
+        assert len(got["segments"]) == len(want["segments"])
+        for gs, ws in zip(got["segments"], want["segments"]):
+            assert gs["tokens"] == ws["tokens"]
+            assert gs["start"] == ws["start"] and gs["end"] == ws["end"]
+        np.testing.assert_allclose(got["audio_tag"], want["audio_tag"],
+                                   atol=1e-4)

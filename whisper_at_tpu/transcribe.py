@@ -357,22 +357,58 @@ def transcribe_batched(
         model, windows, temperature, gate, decode_options, max_batch, mesh
     )
 
-    # one batched TL-TR pass per distinct grid alignment (windows whose seek
-    # lands mid-cell need their pooled features realigned first)
-    at_feats = jnp.stack([r.audio_features_for_at for r in results])
-    align_groups = {}
-    for w in range(n_windows):
-        align_groups.setdefault(
-            grid.offset_in_window(w * N_FRAMES), []
-        ).append(w)
-    for offset, ws in align_groups.items():
-        group = at_feats[jnp.asarray(ws, jnp.int32)]
-        tags = np.asarray(model.at_forward(group[:, :, offset:, :],
-                                           at_time_res))
-        for row, w in enumerate(ws):
-            grid.write(w * N_FRAMES, tags[row])
+    entries = [(grid, w * N_FRAMES, r.audio_features_for_at)
+               for w, r in enumerate(results)]
+    _stitch_tags_batched(model, entries, at_time_res, max_batch)
 
-    # segment construction through the shared parser (fixed 30 s offsets)
+    all_tokens, all_segments = _assemble_windows(
+        model, results, windows, content_frames, tokenizer, gate,
+        input_stride, time_precision, word_timestamps,
+        prepend_punctuations, append_punctuations, verbose,
+    )
+
+    return dict(
+        text=tokenizer.decode(all_tokens),
+        segments=all_segments,
+        language=language,
+        at_time_res=at_time_res,
+        audio_tag=grid.logits,
+    )
+
+
+def _stitch_tags_batched(model, entries, at_time_res, max_batch: int):
+    """Batched TL-TR tagging over decoded windows (possibly many recordings).
+
+    entries: one (grid, seek, at_feat [L, 75, D]) per window. Windows group
+    by their pooled-frame grid offset (a window whose seek lands mid-cell
+    drops the pooled frames before the next boundary), stack max_batch at a
+    time through one at_forward call, and stitch their cell logits into
+    their recording's TagGrid.
+    """
+    groups = {}
+    for i, (grid, seek, _) in enumerate(entries):
+        groups.setdefault(grid.offset_in_window(seek), []).append(i)
+    for offset, idxs in groups.items():
+        for lo in range(0, len(idxs), max_batch):
+            chunk = idxs[lo:lo + max_batch]
+            feats = jnp.stack([entries[i][2] for i in chunk])
+            tags = np.asarray(
+                model.at_forward(feats[:, :, offset:, :], at_time_res)
+            )
+            for row, i in enumerate(chunk):
+                grid, seek, _ = entries[i]
+                grid.write(seek, tags[row])
+
+
+def _assemble_windows(model, results, windows, content_frames, tokenizer,
+                      gate: QualityGate, input_stride, time_precision,
+                      word_timestamps, prepend_punctuations,
+                      append_punctuations, verbose):
+    """Fixed-30s-stride window results -> (tokens, segments) for one file.
+
+    Segment construction through the shared parser; the batched path drops
+    degenerate pieces outright (no seek refinement needs their placeholders).
+    """
     all_segments: List[dict] = []
     all_tokens: List[int] = []
     for w, result in tqdm.tqdm(list(enumerate(results)), unit="win",
@@ -396,8 +432,6 @@ def transcribe_batched(
                 seek=seek, start=start, end=end, tokens=toks,
                 result=result, eot=tokenizer.eot, tokenizer=tokenizer,
             )
-            # the batched path drops degenerate pieces outright (no seek
-            # refinement needs their placeholders)
             if seg["start"] == seg["end"] or not seg["text"].strip():
                 continue
             window_segments.append(seg)
@@ -413,13 +447,114 @@ def transcribe_batched(
             seg["id"] = len(all_segments)
             all_segments.append(seg)
 
-    return dict(
-        text=tokenizer.decode(all_tokens),
-        segments=all_segments,
-        language=language,
-        at_time_res=at_time_res,
-        audio_tag=grid.logits,
-    )
+    return all_tokens, all_segments
+
+
+def transcribe_many(
+    model,
+    audios,
+    *,
+    temperature: Union[float, Tuple[float, ...]] = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
+    compression_ratio_threshold: Optional[float] = 2.4,
+    logprob_threshold: Optional[float] = -1.0,
+    no_speech_threshold: Optional[float] = 0.6,
+    at_time_res: float = 10,
+    max_batch: int = 24,
+    mesh=None,
+    initial_prompt: Optional[str] = None,
+    word_timestamps: bool = False,
+    prepend_punctuations: str = _PUNCT_PREPEND,
+    append_punctuations: str = _PUNCT_APPEND,
+    verbose: Optional[bool] = None,
+    **decode_options,
+):
+    """Transcribe + tag MANY recordings through shared device batches.
+
+    The serving fast path (the reference has no analogue): every file's
+    30 s windows pack into max_batch groups, so a pile of short clips fills
+    the device batch the way one long file does — per-clip overheads
+    (encoder/decoder dispatches at tiny batch) amortize across the fleet.
+    Files are grouped by resolved language so each packed group shares one
+    tokenizer/prompt; windows decode independently, so per-file results are
+    identical to `transcribe_batched` run file-by-file.
+
+    audios: list of waveforms and/or file paths.
+    Returns one `transcribe_batched`-shaped result dict per input, in order.
+    """
+    gate = QualityGate(compression_ratio_threshold, logprob_threshold,
+                       no_speech_threshold)
+    input_stride, time_precision = _geometry(model)
+    task = decode_options.get("task", "transcribe")
+
+    files = []
+    for audio in audios:
+        mel = log_mel_spectrogram(audio, padding=N_SAMPLES)
+        content_frames = mel.shape[-1] - N_FRAMES
+        n_win = max(1, -(-content_frames // N_FRAMES))
+        mel_padded = pad_or_trim(mel, n_win * N_FRAMES)
+        wins = mel_padded.T.reshape(n_win, N_FRAMES, -1).transpose(0, 2, 1)
+        opts = dict(decode_options)
+        language = _resolve_language(model, pad_or_trim(mel, N_FRAMES), opts)
+        files.append({"windows": wins, "content": content_frames,
+                      "language": language})
+
+    if mesh is not None:
+        from .parallel.inference import place_model_on_mesh
+
+        place_model_on_mesh(model, mesh)
+        dp = mesh.shape.get("dp", 1)
+        if max_batch % dp != 0:
+            max_batch = max(dp, (max_batch // dp) * dp)
+
+    by_lang = {}
+    for i, f in enumerate(files):
+        by_lang.setdefault(f["language"], []).append(i)
+
+    results_per_file: List[Optional[list]] = [None] * len(files)
+    for language, idxs in by_lang.items():
+        tokenizer = get_tokenizer(model.is_multilingual, language=language,
+                                  task=task)
+        opts = dict(decode_options)
+        opts["language"] = language
+        if initial_prompt is not None:
+            opts["prompt"] = tokenizer.encode(" " + initial_prompt.strip())
+        packed = jnp.concatenate(
+            [files[i]["windows"] for i in idxs], axis=0
+        )
+        res = _decode_windows_batched(
+            model, packed, temperature, gate, opts, max_batch, mesh
+        )
+        pos = 0
+        for i in idxs:
+            n = files[i]["windows"].shape[0]
+            results_per_file[i] = res[pos:pos + n]
+            files[i]["tokenizer"] = tokenizer
+            pos += n
+
+    # one batched tag pass over every window of every file
+    entries = []
+    for i, f in enumerate(files):
+        f["grid"] = TagGrid(f["content"], at_time_res)
+        for w, r in enumerate(results_per_file[i]):
+            entries.append((f["grid"], w * N_FRAMES, r.audio_features_for_at))
+    _stitch_tags_batched(model, entries, at_time_res, max_batch)
+
+    out = []
+    for i, f in enumerate(files):
+        toks, segs = _assemble_windows(
+            model, results_per_file[i], f["windows"], f["content"],
+            f["tokenizer"], gate, input_stride, time_precision,
+            word_timestamps, prepend_punctuations, append_punctuations,
+            verbose,
+        )
+        out.append(dict(
+            text=f["tokenizer"].decode(toks),
+            segments=segs,
+            language=f["language"],
+            at_time_res=at_time_res,
+            audio_tag=f["grid"].logits,
+        ))
+    return out
 
 
 def _decode_windows_batched(model, windows, temperature, gate: QualityGate,
