@@ -120,3 +120,34 @@ def test_flops_cli():
     )
     assert result.returncode == 0
     assert "large-v1" in result.stdout and "TL-TR-512" in result.stdout
+
+
+def test_cli_batched_many_files(tmp_path):
+    """--batched with several audio files routes through transcribe_many
+    (cross-file window packing) and writes one output per input."""
+    import wave
+
+    import numpy as np
+    ckpt, wav = _write_assets(tmp_path)
+    wav2 = str(tmp_path / "clip2.wav")
+    t = np.arange(16000 * 2) / 16000.0
+    x = (0.2 * np.sin(2 * np.pi * 330 * t)).astype(np.float32)
+    with wave.open(wav2, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(16000)
+        wf.writeframes((x * 32767).astype(np.int16).tobytes())
+    out = tmp_path / "outm"
+    result = run_cli(
+        wav, wav2, "--model", ckpt, "--output_dir", str(out),
+        "--batched", "True", "--output_format", "json",
+        "--language", "en", "--fp16", "False", "--verbose", "False",
+        "--beam_size", "None", "--best_of", "None",
+        "--temperature_increment_on_fallback", "None",
+        "--logprob_threshold", "None",
+        "--compression_ratio_threshold", "None",
+        "--no_speech_threshold", "None",
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    assert (out / "clip.json").exists()
+    assert (out / "clip2.json").exists()

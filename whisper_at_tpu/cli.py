@@ -106,9 +106,19 @@ def cli(argv=None):
     writer = get_writer(output_format, output_dir)
     audio_paths = args.pop("audio")
     if batched:
+        args.pop("condition_on_previous_text", None)  # windows are parallel
+        if len(audio_paths) > 1:
+            # serving fast path: pack every file's windows into shared
+            # device batches instead of one underfilled run per file
+            from .transcribe import transcribe_many
+
+            results = transcribe_many(model, audio_paths,
+                                      temperature=temperature, **args)
+            for audio_path, result in zip(audio_paths, results):
+                writer(result, audio_path, writer_args)
+            return
         from .transcribe import transcribe_batched
 
-        args.pop("condition_on_previous_text", None)  # windows are parallel
         run = transcribe_batched
     else:
         run = transcribe
