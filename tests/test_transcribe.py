@@ -311,3 +311,21 @@ def test_transcribe_many_matches_per_file(model):
             assert gs["start"] == ws["start"] and gs["end"] == ws["end"]
         np.testing.assert_allclose(got["audio_tag"], want["audio_tag"],
                                    atol=1e-4)
+
+
+def test_transcribe_many_language_detection_grouping(model):
+    """language=None: each file's language resolves independently (detection
+    on the first window) and files group by language for packing."""
+    import whisper_at_tpu as wat
+
+    rng = np.random.default_rng(9)
+    clips = [(0.2 * rng.standard_normal(16000 * s)).astype(np.float32)
+             for s in (6, 9)]
+    results = wat.transcribe_many(
+        model, clips, temperature=0.0, sample_len=8, fp16=False,
+        logprob_threshold=None, compression_ratio_threshold=None,
+        no_speech_threshold=None, max_batch=4)
+    assert len(results) == 2
+    for r in results:
+        assert isinstance(r["language"], str) and r["language"]
+        assert r["audio_tag"].shape[-1] == 527
