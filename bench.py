@@ -4,19 +4,39 @@ Measures audio-seconds processed per wall-second (real-time factor) for the
 full inference pipeline — log-mel frontend, encoder with all-layer taps,
 TL-TR tagging head, and the KV-cached greedy decode loop — on BATCH 30 s
 windows at once (the batched long-audio path). Decode runs a fixed token
-budget per window (TOKENS_PER_WINDOW) so throughput is comparable across
-random and real weights; real speech averages ~75-150 tokens per window.
+budget per window (--tokens) so throughput is comparable across random and
+real weights; real speech averages ~75-150 tokens per window.
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"} where
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
 vs_baseline is value / 50 (the BASELINE.json target of >=50x real-time per
 v5e chip at large-v1).
+
+Fault tolerance (the tunneled shared chip has documented multi-minute slow
+windows and transient FAILED_PRECONDITION backend errors):
+
+- Default mode is an ORCHESTRATOR: every measurement runs in a fresh
+  subprocess (``--worker``), so a wedged backend never takes down the
+  capture process.
+- A small-matmul health probe gates each attempt; if the chip is in a
+  slump the orchestrator waits and retries within a wall-clock budget.
+- The headline retries on failure and falls back down a batch ladder
+  (24 -> 24 -> 16 -> 8 -> 8) before giving up.
+- The headline JSON line is printed (and flushed) the moment it is
+  measured; SIGTERM/SIGINT afterwards still exit 0. If every attempt
+  fails, a {"value": 0.0, "degraded": true, "error": ...} line is
+  emitted instead of a traceback.
+- After the headline, the five BASELINE preset configs run best-effort
+  within the remaining budget and land in BENCH_CONFIGS.json so preset
+  claims are driver-auditable.
 """
 
 import argparse
 import json
+import os
+import signal
+import subprocess
+import sys
 import time
-
-import numpy as np
 
 
 # BASELINE.json config presets (driver configs 1-5)
@@ -28,8 +48,20 @@ CONFIGS = {
     "large-beam": dict(size="large-v1", batch=4, tokens=96, beam=5),
 }
 
+RESULT_MARKER = "BENCHRESULT "
+TARGET_RTF = 50.0  # BASELINE.json: >=50x real-time per chip at large-v1
 
-def main():
+# Batch fallback ladder for the headline measurement. 24 is the measured
+# v5e throughput sweet spot; smaller batches trade throughput for a shorter
+# per-attempt window (less exposure to a tunnel slump mid-measurement).
+HEADLINE_LADDER = (24, 24, 16, 8, 8)
+
+
+def log(msg):
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
+def build_parser():
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", choices=sorted(CONFIGS), default=None,
                         help="BASELINE.json config preset")
@@ -49,14 +81,42 @@ def main():
     parser.add_argument("--weight-quant", action="store_true", default=True,
                         help="int8-quantize the decoder matmul weights "
                              "(default on; token parity on test models)")
+    parser.add_argument("--no-weight-quant", dest="weight_quant",
+                        action="store_false")
     parser.add_argument("--self-kv-quant", action="store_true", default=True,
                         help="int8 self-attention KV cache (token parity "
                              "verified on test models)")
     parser.add_argument("--no-self-kv-quant", dest="self_kv_quant",
                         action="store_false")
-    parser.add_argument("--no-weight-quant", dest="weight_quant",
-                        action="store_false")
-    args = parser.parse_args()
+    parser.add_argument("--serving", action="store_true",
+                        help="serving-path measurement: many short files "
+                             "through transcribe_many (cross-file window "
+                             "packing) instead of one long file")
+    parser.add_argument("--worker", action="store_true",
+                        help="run the measurement in-process and emit a "
+                             "marker line (internal; orchestrator default)")
+    parser.add_argument("--no-presets", action="store_true",
+                        help="skip the best-effort preset sweep after the "
+                             "headline")
+    parser.add_argument("--budget", type=float,
+                        default=float(os.environ.get("BENCH_BUDGET_S", 1800)),
+                        help="total wall-clock budget in seconds; the "
+                             "headline gets priority, presets use what is "
+                             "left")
+    return parser
+
+
+# --------------------------------------------------------------------------- #
+# worker: the actual measurement, in-process
+# --------------------------------------------------------------------------- #
+
+def run_measurement(args):
+    """Build the model, run the batched pipeline, return the result dict."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    import whisper_at_tpu as wat
+    from whisper_at_tpu.transcribe import transcribe_batched, transcribe_many
 
     preset = CONFIGS.get(args.config, {})
     if preset:
@@ -64,53 +124,61 @@ def main():
         args.batch = preset["batch"]
         args.tokens = preset["tokens"]
 
-    import jax
-    import jax.numpy as jnp
-
-    import whisper_at_tpu as wat
-
     dtype = jnp.float32 if args.fp32 else jnp.bfloat16
     model = wat.build_model(args.size, storage_dtype=dtype, seed=0,
                             at_low_compute=preset.get("at_low", False))
 
-    audio_seconds = args.batch * 30
+    common = dict(
+        language="en",
+        temperature=0.0,
+        sample_len=args.tokens,
+        fp16=not args.fp32,
+        max_batch=args.batch,
+        logprob_threshold=None,
+        compression_ratio_threshold=None,
+        no_speech_threshold=None,
+        kv_quant=args.kv_quant,
+        weight_quant=args.weight_quant,
+        self_kv_quant=args.self_kv_quant,
+    )
+    if preset.get("task"):
+        common["task"] = preset["task"]
+    if preset.get("beam"):
+        common["beam_size"] = preset["beam"]
+
     rng = np.random.default_rng(0)
-    t = np.arange(16000 * audio_seconds) / 16000.0
-    audio = (0.3 * np.sin(2 * np.pi * 220.0 * t)
-             + 0.05 * rng.standard_normal(len(t))).astype(np.float32)
-    # int16 PCM, exactly what a real 16-bit file decodes to; the frontend
-    # ships int16 to the device (half the H2D bytes) and dequantizes there
-    audio = (np.clip(audio, -1.0, 1.0) * 32767.0).astype(np.int16)
 
-    from whisper_at_tpu.transcribe import transcribe_batched
+    def make_audio(seconds, seed_offset=0):
+        r = np.random.default_rng(seed_offset)
+        t = np.arange(16000 * seconds) / 16000.0
+        a = (0.3 * np.sin(2 * np.pi * 220.0 * t)
+             + 0.05 * r.standard_normal(len(t))).astype(np.float32)
+        # int16 PCM, exactly what a real 16-bit file decodes to; the frontend
+        # ships int16 to the device (half the H2D bytes) and dequantizes there
+        return (np.clip(a, -1.0, 1.0) * 32767.0).astype(np.int16)
 
-    def pipeline():
-        # the public batched long-audio path: mel -> batched encode+tag ->
-        # batched greedy decode -> segments
-        extra = {}
-        if preset.get("task"):
-            extra["task"] = preset["task"]
-        if preset.get("beam"):
-            extra["beam_size"] = preset["beam"]
-        return transcribe_batched(
-            model,
-            audio,
-            language="en",
-            temperature=0.0,
-            **extra,
-            sample_len=args.tokens,
-            fp16=not args.fp32,
-            max_batch=args.batch,
-            logprob_threshold=None,
-            compression_ratio_threshold=None,
-            no_speech_threshold=None,
-            kv_quant=args.kv_quant,
-            weight_quant=args.weight_quant,
-            self_kv_quant=args.self_kv_quant,
-        )
+    if args.serving:
+        # many short files (8-25 s) through the cross-file window packer;
+        # audio_seconds counts real samples, not padded windows
+        durations = [int(d) for d in rng.integers(8, 26, size=3 * args.batch)]
+        files = [make_audio(d, seed_offset=i) for i, d in enumerate(durations)]
+        audio_seconds = float(sum(len(f) for f in files)) / 16000.0
+
+        def pipeline():
+            return transcribe_many(model, files, **common)
+    else:
+        audio_seconds = args.batch * 30
+        audio = make_audio(audio_seconds)
+
+        def pipeline():
+            # the public batched long-audio path: mel -> batched encode+tag ->
+            # batched greedy decode -> segments
+            return transcribe_batched(model, audio, **common)
 
     # warmup (compiles the mel kernel, encoder, prefill, and decode loop)
+    t0 = time.perf_counter()
     pipeline()
+    log(f"warmup (compile) {time.perf_counter() - t0:.1f}s")
 
     times = []
     for _ in range(args.iters):
@@ -120,17 +188,242 @@ def main():
 
     best = min(times)
     rtf = audio_seconds / best
-    print(json.dumps({
-        "metric": f"{args.size} batched transcribe+tag throughput "
+    mode = "serving (many short files)" if args.serving else "batched"
+    return {
+        "metric": f"{args.size} {mode} transcribe+tag throughput "
                   f"({args.tokens} tok/30s-window, batch {args.batch}, "
                   f"{'int8 cross-KV, ' if args.kv_quant else ''}"
                   f"{'int8 weights, ' if args.weight_quant else ''}"
                   f"{'int8 self-KV, ' if args.self_kv_quant else ''}1 chip)",
         "value": round(rtf, 2),
         "unit": "audio-sec/sec",
-        "vs_baseline": round(rtf / 50.0, 3),
-    }))
+        "vs_baseline": round(rtf / TARGET_RTF, 3),
+        "times_s": [round(t, 3) for t in times],
+    }
+
+
+# --------------------------------------------------------------------------- #
+# orchestrator: subprocess isolation + health gating + retry ladder
+# --------------------------------------------------------------------------- #
+
+HEALTH_PROBE_CODE = """
+import time, numpy as np, jax, jax.numpy as jnp
+x = jnp.ones((1000, 1000), jnp.bfloat16)
+f = jax.jit(lambda a: a @ a)
+r = f(x); _ = np.asarray(r[:1, :1])           # compile + first run
+t0 = time.perf_counter()
+r = f(x); _ = np.asarray(r[:1, :1])           # steady-state run
+print("PROBE_S", time.perf_counter() - t0)
+"""
+
+
+def probe_health(timeout=150.0):
+    """Time a small jitted matmul in a fresh subprocess.
+
+    Returns steady-state seconds, or None if the probe crashed or timed out
+    (i.e. the chip/service is wedged).
+    """
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", HEALTH_PROBE_CODE],
+            capture_output=True, text=True, timeout=timeout,
+            cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
+        )
+    except subprocess.TimeoutExpired:
+        return None
+    if proc.returncode != 0:
+        log(f"health probe rc={proc.returncode}: {proc.stderr[-300:]}")
+        return None
+    for line in proc.stdout.splitlines():
+        if line.startswith("PROBE_S"):
+            return float(line.split()[1])
+    return None
+
+
+def wait_for_health(deadline, slump_threshold=5.0, retry_sleep=60.0):
+    """Block until the chip answers a small matmul quickly, or the deadline.
+
+    Returns the last probe time (None if never healthy). A healthy tunneled
+    chip answers in well under a second; the documented wedged state takes
+    ~90-135 s or hangs.
+    """
+    while True:
+        t = probe_health(timeout=min(150.0, max(10.0, deadline - time.time())))
+        if t is not None and t < slump_threshold:
+            log(f"chip healthy (probe {t:.2f}s)")
+            return t
+        log(f"chip degraded (probe {'timeout' if t is None else f'{t:.1f}s'})")
+        if time.time() + retry_sleep >= deadline:
+            return t
+        time.sleep(retry_sleep)
+
+
+def run_worker(worker_args, timeout):
+    """Run one measurement subprocess; return (result dict | None, stderr tail)."""
+    cmd = [sys.executable, os.path.abspath(__file__), "--worker"] + worker_args
+    log(f"worker: {' '.join(worker_args)} (timeout {timeout:.0f}s)")
+    try:
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=timeout,
+            cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
+        )
+    except subprocess.TimeoutExpired as e:
+        tail = (e.stderr or b"")
+        if isinstance(tail, bytes):
+            tail = tail.decode("utf-8", "replace")
+        return None, f"timeout after {timeout:.0f}s; stderr: {tail[-500:]}"
+    if proc.returncode != 0:
+        return None, f"rc={proc.returncode}; stderr: {proc.stderr[-800:]}"
+    for line in proc.stdout.splitlines():
+        if line.startswith(RESULT_MARKER):
+            try:
+                return json.loads(line[len(RESULT_MARKER):]), ""
+            except json.JSONDecodeError as exc:
+                return None, f"bad result JSON: {exc}"
+    return None, f"no result marker in stdout: {proc.stdout[-300:]}"
+
+
+def passthrough_flags(args):
+    flags = []
+    if args.fp32:
+        flags.append("--fp32")
+    if not args.kv_quant:
+        flags.append("--no-kv-quant")
+    if not args.weight_quant:
+        flags.append("--no-weight-quant")
+    if not args.self_kv_quant:
+        flags.append("--no-self-kv-quant")
+    flags += ["--tokens", str(args.tokens), "--iters", str(args.iters)]
+    return flags
+
+
+def orchestrate(args):
+    start = time.time()
+    deadline = start + args.budget
+    emitted = {"done": False}
+
+    def emit(result):
+        if emitted["done"]:
+            return
+        emitted["done"] = True
+        print(json.dumps(result), flush=True)
+
+    failure = {
+        "metric": f"{args.size} batched transcribe+tag throughput "
+                  f"(batch {args.batch}, 1 chip)",
+        "value": 0.0,
+        "unit": "audio-sec/sec",
+        "vs_baseline": 0.0,
+        "degraded": True,
+        "error": "no successful measurement within budget",
+    }
+
+    def on_term(signum, frame):
+        # a driver-side timeout kill must still produce a valid capture
+        emit(failure)
+        sys.stderr.flush()
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, on_term)
+    signal.signal(signal.SIGINT, on_term)
+
+    base_flags = passthrough_flags(args)
+    errors = []
+
+    # ---- headline (or the single requested config/serving mode) ---------- #
+    if args.config:
+        ladder = [None] * 3          # preset batch comes from CONFIGS
+        mode_flags = ["--config", args.config]
+    elif args.serving:
+        ladder = [args.batch, args.batch, max(args.batch // 2, 1)]
+        mode_flags = ["--serving", "--size", args.size]
+    else:
+        ladder = [b for b in HEADLINE_LADDER if b <= args.batch] or [args.batch]
+        if args.batch not in HEADLINE_LADDER:
+            ladder = [args.batch] + list(ladder)
+        mode_flags = ["--size", args.size]
+
+    result = None
+    for attempt, batch in enumerate(ladder):
+        remaining = deadline - time.time()
+        if remaining < 120:
+            errors.append("budget exhausted before attempt")
+            break
+        health = wait_for_health(min(deadline, time.time() + remaining * 0.4))
+        if health is None or health >= 5.0:
+            errors.append(f"attempt {attempt}: chip degraded (probe {health})")
+            # try anyway on the last attempt: compile-cached programs often
+            # still finish during slumps while fresh probes are slow
+            if attempt < len(ladder) - 1:
+                continue
+        worker_args = list(mode_flags) + base_flags
+        if batch is not None:
+            worker_args += ["--batch", str(batch)]
+        remaining = deadline - time.time()
+        result, err = run_worker(worker_args, timeout=min(900, max(120, remaining)))
+        if result is not None:
+            if batch is not None and batch != ladder[0]:
+                result["degraded"] = True
+                result["note"] = (f"fell back to batch {batch} after failures "
+                                  f"at batch {ladder[0]}")
+            break
+        errors.append(f"attempt {attempt} (batch {batch}): {err}")
+        log(errors[-1])
+
+    if result is None:
+        failure["error"] = " | ".join(errors)[-900:]
+        emit(failure)
+        return 0
+
+    result.setdefault("vs_baseline", round(result["value"] / TARGET_RTF, 3))
+    emit(result)
+    log(f"headline: {result['value']} {result['unit']}")
+
+    # ---- best-effort preset sweep into BENCH_CONFIGS.json ----------------- #
+    if args.config or args.serving or args.no_presets:
+        return 0
+    sweep = {"headline": result, "presets": {}, "serving": None}
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_CONFIGS.json")
+
+    def save():
+        with open(out_path, "w") as f:
+            json.dump(sweep, f, indent=2)
+
+    save()
+    # large-beam first: historically the weakest preset, most worth auditing
+    order = ["large-beam", "tiny-single", "base-10min", "small-low",
+             "medium-translate"]
+    for name in order:
+        remaining = deadline - time.time()
+        if remaining < 180:
+            sweep["presets"][name] = {"skipped": "budget exhausted"}
+            continue
+        r, err = run_worker(["--config", name] + base_flags,
+                            timeout=min(480, remaining - 30))
+        sweep["presets"][name] = r if r is not None else {"error": err[-500:]}
+        save()
+        log(f"preset {name}: "
+            f"{r['value'] if r else 'FAILED'}")
+
+    remaining = deadline - time.time()
+    if remaining >= 180:
+        r, err = run_worker(["--serving", "--size", args.size, "--batch",
+                             str(args.batch)] + base_flags,
+                            timeout=min(480, remaining - 30))
+        sweep["serving"] = r if r is not None else {"error": err[-500:]}
+        save()
+    return 0
+
+
+def main():
+    args = build_parser().parse_args()
+    if args.worker:
+        result = run_measurement(args)
+        print(RESULT_MARKER + json.dumps(result), flush=True)
+        return 0
+    return orchestrate(args)
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

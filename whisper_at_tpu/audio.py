@@ -49,7 +49,13 @@ __all__ = [
 ]
 
 
-def _load_audio_ffmpeg(file: str, sr: int) -> np.ndarray:
+def _ffmpeg_pcm16(file: str, sr: int) -> np.ndarray:
+    """Decode any container/codec to mono int16 PCM at `sr` Hz via ffmpeg.
+
+    The single source of the ffmpeg command line: both the float32 and the
+    int16 device-transfer paths decode through here, so the bit-exactness
+    contract between them (float = int16 / 32768) cannot drift.
+    """
     cmd = [
         "ffmpeg",
         "-nostdin",
@@ -65,7 +71,11 @@ def _load_audio_ffmpeg(file: str, sr: int) -> np.ndarray:
         out = subprocess.run(cmd, capture_output=True, check=True).stdout
     except subprocess.CalledProcessError as e:
         raise RuntimeError(f"Failed to load audio: {e.stderr.decode()}") from e
-    return np.frombuffer(out, np.int16).flatten().astype(np.float32) / 32768.0
+    return np.frombuffer(out, np.int16).flatten()
+
+
+def _load_audio_ffmpeg(file: str, sr: int) -> np.ndarray:
+    return _ffmpeg_pcm16(file, sr).astype(np.float32) / 32768.0
 
 
 def _resample(x: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
@@ -137,18 +147,7 @@ def load_audio_pcm16(file: str, sr: int = SAMPLE_RATE) -> np.ndarray:
     reference-parity public API.
     """
     if shutil.which("ffmpeg") is not None:
-        cmd = [
-            "ffmpeg", "-nostdin", "-threads", "0", "-i", file,
-            "-f", "s16le", "-ac", "1", "-acodec", "pcm_s16le",
-            "-ar", str(sr), "-",
-        ]
-        try:
-            out = subprocess.run(cmd, capture_output=True, check=True).stdout
-        except subprocess.CalledProcessError as e:
-            raise RuntimeError(
-                f"Failed to load audio: {e.stderr.decode()}"
-            ) from e
-        return np.frombuffer(out, np.int16).flatten()
+        return _ffmpeg_pcm16(file, sr)
     if file.lower().endswith(".wav"):
         with wave.open(file, "rb") as wf:
             if wf.getsampwidth() == 2 and wf.getnchannels() == 1 \

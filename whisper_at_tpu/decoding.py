@@ -742,12 +742,13 @@ class DecodingTask:
         # "fused" lays the int8 KV out for the pallas decode kernel
         # (ops/cross_decode.py) — the decode loop's dominant-stream fast path
         # on TPU; elsewhere the XLA einsum path keeps the head layout
-        # the pallas decode kernel is single-device; under a tensor-parallel
-        # mesh the XLA heads layout partitions cleanly instead
+        # the pallas decode kernel is a single-device Mosaic custom call with
+        # no shard_map/partitioning rules; under ANY mesh (dp or tp) the XLA
+        # heads layout partitions cleanly instead, so auto-select "fused"
+        # only for unplaced models
         mesh = getattr(self.model, "_mesh", None)
-        tp = mesh.shape.get("tp", 1) if mesh is not None else 1
         kv_layout = options.kv_layout or ("fused" if (
-            options.kv_quant and tp == 1
+            options.kv_quant and mesh is None
             and jax.default_backend() == "tpu"
         ) else "heads")
         cross_k, cross_v = precompute_cross_kv(

@@ -51,6 +51,12 @@ from .utils import exact_div, format_timestamp, make_safe
 _PUNCT_PREPEND = "\"'“¿([{-"
 _PUNCT_APPEND = "\"'.。,，!！?？:：”)]}、"
 
+# 30 s windows per device batch across all batched entry points
+# (transcribe_batched, transcribe_many, bench.py). 24 is the measured v5e
+# throughput sweet spot: weights/logits amortize across rows while M stays
+# under the 128-row MXU tile; 32 regresses.
+DEFAULT_MAX_BATCH = 24
+
 
 # --------------------------------------------------------------------------- #
 # shared helpers
@@ -290,7 +296,7 @@ def transcribe_batched(
     logprob_threshold: Optional[float] = -1.0,
     no_speech_threshold: Optional[float] = 0.6,
     at_time_res: float = 10,
-    max_batch: int = 8,
+    max_batch: int = DEFAULT_MAX_BATCH,
     mesh=None,
     initial_prompt: Optional[str] = None,
     word_timestamps: bool = False,
@@ -459,7 +465,7 @@ def transcribe_many(
     logprob_threshold: Optional[float] = -1.0,
     no_speech_threshold: Optional[float] = 0.6,
     at_time_res: float = 10,
-    max_batch: int = 24,
+    max_batch: int = DEFAULT_MAX_BATCH,
     mesh=None,
     initial_prompt: Optional[str] = None,
     word_timestamps: bool = False,
