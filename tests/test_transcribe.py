@@ -329,3 +329,64 @@ def test_transcribe_many_language_detection_grouping(model):
     for r in results:
         assert isinstance(r["language"], str) and r["language"]
         assert r["audio_tag"].shape[-1] == 527
+
+
+_STRESS_KWARGS = dict(
+    language="en", fp16=False, temperature=0.0, sample_len=8,
+    logprob_threshold=None, compression_ratio_threshold=None,
+    no_speech_threshold=None,
+)
+
+
+def test_empty_audio_all_paths_agree(model):
+    """Zero-sample audio: the reference's seek loop (while seek <
+    content_frames) never enters, so every path must return zero segments
+    and empty text — not a hallucinated decode of the all-padding window."""
+    empty = np.zeros(0, np.float32)
+    seq = wat.transcribe(model, empty, verbose=None, **_STRESS_KWARGS)
+    bat = wat.transcribe_batched(model, empty, **_STRESS_KWARGS)
+    many = wat.transcribe_many(model, [empty], **_STRESS_KWARGS)[0]
+    for r in (seq, bat, many):
+        assert r["segments"] == []
+        assert r["text"] == ""
+        assert np.asarray(r["audio_tag"]).shape == (1, 527)
+
+
+def test_transcribe_many_stress_mixed_lengths(model):
+    """Serving-path stress: sub-second clips, an empty clip, and a file
+    with more windows than max_batch, all in one call — per-file results
+    must still match transcribe_batched run file-by-file."""
+    rng = np.random.default_rng(33)
+    clips = [
+        (0.2 * rng.standard_normal(int(16000 * 0.4))).astype(np.float32),
+        np.zeros(0, np.float32),
+        # 95 s = 4 windows > max_batch=2: one file spans several chunks
+        (0.2 * rng.standard_normal(16000 * 95)).astype(np.float32),
+        (0.2 * rng.standard_normal(16000 * 3)).astype(np.float32),
+    ]
+    singles = [wat.transcribe_batched(model, c, max_batch=2, **_STRESS_KWARGS)
+               for c in clips]
+    packed = wat.transcribe_many(model, clips, max_batch=2, **_STRESS_KWARGS)
+
+    assert len(packed) == len(singles)
+    for got, want in zip(packed, singles):
+        assert got["text"] == want["text"]
+        assert len(got["segments"]) == len(want["segments"])
+        for gs, ws in zip(got["segments"], want["segments"]):
+            assert gs["tokens"] == ws["tokens"]
+        np.testing.assert_allclose(np.asarray(got["audio_tag"]),
+                                   np.asarray(want["audio_tag"]), atol=1e-4)
+
+
+def test_transcribe_many_int16_matches_float(model):
+    """int16 PCM inputs (the half-bandwidth device-transfer path used by
+    serving) must give bit-identical results to the same audio as float32."""
+    rng = np.random.default_rng(7)
+    f32 = np.clip(0.3 * rng.standard_normal(16000 * 12), -1, 1)
+    i16 = (f32 * 32768.0).clip(-32768, 32767).astype(np.int16)
+    f32 = i16.astype(np.float32) / 32768.0  # same grid as the int16 clip
+    a = wat.transcribe_many(model, [i16], **_STRESS_KWARGS)[0]
+    b = wat.transcribe_many(model, [f32], **_STRESS_KWARGS)[0]
+    assert a["text"] == b["text"]
+    np.testing.assert_array_equal(np.asarray(a["audio_tag"]),
+                                  np.asarray(b["audio_tag"]))

@@ -420,6 +420,11 @@ def _assemble_windows(model, results, windows, content_frames, tokenizer,
     for w, result in tqdm.tqdm(list(enumerate(results)), unit="win",
                                disable=verbose is not False):
         seek = w * N_FRAMES
+        if seek >= content_frames:
+            # empty audio: the reference's seek loop (while seek <
+            # content_frames) never enters, so zero segments — not a
+            # hallucinated decode of the all-padding window
+            break
         if gate.is_silence(result):
             continue
         segment_size = min(N_FRAMES, content_frames - seek)
