@@ -394,10 +394,14 @@ def orchestrate(args):
     # large-beam first: historically the weakest preset, most worth auditing
     order = ["large-beam", "tiny-single", "base-10min", "small-low",
              "medium-translate"]
-    for name in order:
+    # second pass retries first-pass failures (transient tunnel slumps)
+    for name in order + order:
+        if isinstance(sweep["presets"].get(name), dict) \
+                and "value" in sweep["presets"][name]:
+            continue
         remaining = deadline - time.time()
         if remaining < 180:
-            sweep["presets"][name] = {"skipped": "budget exhausted"}
+            sweep["presets"].setdefault(name, {"skipped": "budget exhausted"})
             continue
         r, err = run_worker(["--config", name] + base_flags,
                             timeout=min(480, remaining - 30))

@@ -29,6 +29,12 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
+
+if os.environ.get("WAT_FORCE_CPU"):
+    # must land before first backend use: the axon TPU plugin overrides
+    # JAX_PLATFORMS, so only this config pin reliably selects CPU
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp  # noqa: E402
 
 import whisper_at_tpu as whisper  # noqa: E402
@@ -131,7 +137,27 @@ def main():
     # 2e-4 learns cleanly on this corpus; 1e-3+ oscillates around chance
     # (a 6-class head sees only ~8 steps/epoch here)
     parser.add_argument("--lr", type=float, default=2e-4)
+    parser.add_argument("--mesh-dp", type=int, default=0,
+                        help="train the head over an N-device ('dp','tp') "
+                             "mesh (pjit sharded step). Without N real "
+                             "devices the demo re-execs itself on a virtual "
+                             "N-device CPU mesh (the conftest recipe).")
     args = parser.parse_args()
+
+    if args.mesh_dp and len(jax.devices()) < args.mesh_dp:
+        import subprocess
+
+        env = dict(os.environ)
+        flags = env.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            flags = (flags + " --xla_force_host_platform_device_count="
+                     f"{args.mesh_dp}").strip()
+        env["XLA_FLAGS"] = flags
+        env["WAT_FORCE_CPU"] = "1"  # read below before jax backend init
+        raise SystemExit(subprocess.run(
+            [sys.executable, os.path.abspath(__file__)]
+            + [a for a in sys.argv[1:]], env=env,
+        ).returncode)
 
     print(f"=== corpus: {args.n_train} train / {args.n_eval} eval clips, "
           f"{len(CLASSES)} classes, multi-label ===")
@@ -150,11 +176,20 @@ def main():
                                          n_frames=1000))
     print(f"extracted {n_written} all-layer pooled feature files")
 
+    mesh = None
+    if args.mesh_dp:
+        from whisper_at_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_devices=args.mesh_dp, tp=1)
+        print(f"=== sharded training over mesh {dict(mesh.shape)} ===")
+
     conf = {"freqm": 0, "timem": 3, "mixup": 0.3, "dataset": "demo",
             "label_smooth": 0.05, "tar_path": feat_dir}
+    # sharded batches must divide by dp; 16 works for dp in {1,2,4,8}
+    train_bs = 16 if args.mesh_dp else 12
     loader = DataLoader(
         FeatureDataset(train_json, conf, label_csv=label_csv),
-        batch_size=12, shuffle=True, num_workers=2,
+        batch_size=train_bs, shuffle=True, num_workers=2,
     )
     val_conf = dict(conf, timem=0, mixup=0, label_smooth=0.0)
     val_loader = DataLoader(
@@ -172,7 +207,7 @@ def main():
     params = train(
         params, mode, loader, val_loader, exp_dir=exp_dir, lr=args.lr,
         n_epochs=args.epochs, dataset="demo", compute_dtype=jnp.float32,
-        n_print_steps=1000,
+        n_print_steps=1000, mesh=mesh,
     )
 
     # --- the trajectory (reference logs' analogue): result.csv per epoch ---

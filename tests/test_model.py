@@ -155,3 +155,31 @@ def test_alignment_heads_default(model):
     assert model.alignment_heads.shape == (3, 4)
     assert model.alignment_heads[2].all()
     assert not model.alignment_heads[0].any()
+
+
+def test_single_pass_encoder_attention_matches_reference():
+    """Whisper-geometry single-pass attention kernel (ops/flash_enc.py,
+    interpret mode): matches the einsum+fp32-softmax path, including the
+    padded-key masking (T=300 pads to 384) and the block_q-tiled variant."""
+    from whisper_at_tpu.models.layers import attention
+    from whisper_at_tpu.ops.flash_enc import encoder_attention
+
+    rng = np.random.default_rng(11)
+    b, t, h, dh = 2, 300, 4, 64
+    d = h * dh
+    q, k, v = (jnp.asarray(rng.standard_normal((b, t, d)), jnp.float32)
+               for _ in range(3))
+    ref, _ = attention(q, k, v, h)
+    out = encoder_attention(q, k, v, h, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+    out_tiled = encoder_attention(q, k, v, h, block_q=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_tiled), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+
+    qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+    refb, _ = attention(qb, kb, vb, h)
+    outb = encoder_attention(qb, kb, vb, h, interpret=True)
+    diff = np.abs(np.asarray(outb, np.float32)
+                  - np.asarray(refb, np.float32)).max()
+    assert diff < 0.02

@@ -90,7 +90,7 @@ def encoder_apply(
       x     : [B, 1500, D]  final hidden states (after ln_post)
       all_x : [B, L, 75, D] per-layer 20x-pooled taps (before ln_post)
     """
-    from ..ops.flash import HAVE_FLASH, encoder_flash_attention
+    from ..ops.flash import HAVE_FLASH, encoder_attention_tpu
 
     x = mel.astype(compute_dtype).transpose(0, 2, 1)  # [B, T, n_mels]
     x = gelu(_conv1d(params["conv1"], x, stride=1))
@@ -113,7 +113,7 @@ def encoder_apply(
             block_params["attn"], layer_norm(block_params["attn_ln"], h)
         )
         if use_flash:
-            attn_out = encoder_flash_attention(q, k, v, n_head)
+            attn_out = encoder_attention_tpu(q, k, v, n_head)
         else:
             attn_out, _ = attention(q, k, v, n_head)
         h = h + linear(block_params["attn"]["out"], attn_out)

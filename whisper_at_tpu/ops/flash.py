@@ -34,6 +34,31 @@ def _pad_len(t: int) -> int:
     return -(-t // _BLOCK) * _BLOCK
 
 
+def encoder_attention_tpu(q, k, v, n_head: int):
+    """Encoder attention dispatch for the TPU path.
+
+    Default is the whisper-geometry single-pass kernel (ops/flash_enc.py):
+    the whole per-(batch, head) problem fits in VMEM, so it skips the
+    generic flash kernel's online-softmax bookkeeping. Set
+    WHISPER_AT_TPU_ENC_ATTN=flash to force the generic pallas flash
+    kernel, or =xla for the einsum path.
+    """
+    import os
+
+    choice = os.environ.get("WHISPER_AT_TPU_ENC_ATTN", "single")
+    d_head = q.shape[-1] // n_head
+    if choice == "single" and d_head % 64 == 0:
+        from .flash_enc import HAVE_PALLAS, encoder_attention
+
+        if HAVE_PALLAS:
+            return encoder_attention(q, k, v, n_head)
+    if choice != "xla" and HAVE_FLASH:
+        return encoder_flash_attention(q, k, v, n_head)
+    from ..models.layers import attention
+
+    return attention(q, k, v, n_head)[0]
+
+
 @partial(jax.jit, static_argnames=("n_head",))
 def encoder_flash_attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, n_head: int

@@ -158,19 +158,47 @@ def train(
     compute_dtype=jnp.bfloat16,
     n_class_sonyc: Optional[int] = None,
     resume: bool = False,
+    mesh=None,
 ) -> dict:
     """Train the TL-TR head; returns the final params.
 
     Epoch semantics mirror the reference: for 'as-full', each epoch breaks at
     10% of the loader (traintest.py:136-139), so 30 epochs == 3 full passes.
+
+    mesh: optional jax.sharding.Mesh ('dp','tp') — runs the pjit sharded
+    step (batch over dp, Megatron-split head over tp) instead of the
+    single-device step; every train batch size must be divisible by the dp
+    size. The TPU-native superset of the reference's DataParallel
+    (run.py:191-192).
     """
     os.makedirs(os.path.join(exp_dir, "models"), exist_ok=True)
 
     optimizer = make_optimizer(lr)
-    opt_state = optimizer.init(params)
-    train_step = make_train_step(
-        mode, optimizer, loss_type, pos_weight, compute_dtype
-    )
+    if mesh is not None:
+        from ..parallel.mesh import shard_batch
+        from .steps import make_sharded_train_step
+
+        dp = mesh.shape.get("dp", 1)
+        train_step, params, opt_state = make_sharded_train_step(
+            mesh, mode, optimizer, params, loss_type, pos_weight,
+            compute_dtype,
+        )
+
+        def _prepare(x):
+            x = jnp.asarray(x)
+            if x.shape[0] % dp != 0:
+                raise ValueError(
+                    f"batch size {x.shape[0]} not divisible by dp={dp}; "
+                    "use a DataLoader batch_size that is a multiple of the "
+                    "mesh's dp axis"
+                )
+            return shard_batch(mesh, x)
+    else:
+        opt_state = optimizer.init(params)
+        train_step = make_train_step(
+            mode, optimizer, loss_type, pos_weight, compute_dtype
+        )
+        _prepare = jnp.asarray
     eval_step = make_eval_step(mode, compute_dtype)
 
     from .steps import bce_with_logits_loss, ce_loss
@@ -222,6 +250,19 @@ def train(
                 os.path.join(exp_dir, "models", f"train_state.{last}.npz"),
                 opt_state,
             )
+            if mesh is not None:
+                from ..parallel.mesh import tltr_param_shardings
+
+                shardings = tltr_param_shardings(mesh, params)
+                params = _jax.tree.map(_jax.device_put, params, shardings)
+                # optax moments are zeros_like(params), so a freshly-init
+                # state on the sharded params is a sharding template for
+                # the restored one
+                template = optimizer.init(params)
+                opt_state = _jax.tree.map(
+                    lambda x, t: _jax.device_put(jnp.asarray(x), t.sharding),
+                    opt_state, template,
+                )
             if hasattr(scheduler, "epoch"):
                 scheduler.epoch = last
             start_epoch = last + 1
@@ -238,7 +279,7 @@ def train(
             data_t = time.time() - end_time
             dnn_start = time.time()
             params, opt_state, loss = train_step(
-                params, opt_state, jnp.asarray(feats), jnp.asarray(labels),
+                params, opt_state, _prepare(feats), _prepare(labels),
                 jnp.float32(scheduler.scale),
             )
             loss = float(loss)
