@@ -78,6 +78,10 @@ def build_parser():
                         help="int8-quantize the cross-attention KV (default on; "
                              "exact-token parity on test models)")
     parser.add_argument("--no-kv-quant", dest="kv_quant", action="store_false")
+    parser.add_argument("--kv-bits", type=int, default=8, choices=(8, 4),
+                        help="cross-KV quantization width (4 = int4, "
+                             "halves the dominant decode stream again; "
+                             "parity budget: tools/quant_divergence.py)")
     parser.add_argument("--weight-quant", action="store_true", default=True,
                         help="int8-quantize the decoder matmul weights "
                              "(default on; token parity on test models)")
@@ -138,6 +142,7 @@ def run_measurement(args):
         compression_ratio_threshold=None,
         no_speech_threshold=None,
         kv_quant=args.kv_quant,
+        kv_bits=args.kv_bits,
         weight_quant=args.weight_quant,
         self_kv_quant=args.self_kv_quant,
     )
@@ -294,6 +299,8 @@ def passthrough_flags(args):
     if not args.self_kv_quant:
         flags.append("--no-self-kv-quant")
     flags += ["--tokens", str(args.tokens), "--iters", str(args.iters)]
+    if args.kv_bits != 8:
+        flags += ["--kv-bits", str(args.kv_bits)]
     return flags
 
 

@@ -228,6 +228,27 @@ def test_kv_quant_beam(model, mel):
     assert isinstance(r.tokens, list)
 
 
+def test_kv_int4_matches_bf16_path(model, mel):
+    """int4 cross-KV (jnp.int4 storage, per-position scales) must reproduce
+    the full-precision tokens on the test model; always routes to the
+    "heads" XLA layout (the fused pallas kernel is int8-only)."""
+    r1 = decode(model, mel[0],
+                DecodingOptions(language="en", fp16=False, sample_len=20))
+    r2 = decode(model, mel[0],
+                DecodingOptions(language="en", fp16=False, sample_len=20,
+                                kv_quant=True, kv_bits=4))
+    assert r1.tokens == r2.tokens
+    assert abs(r1.avg_logprob - r2.avg_logprob) < 2e-3
+
+    b1 = decode(model, mel[0],
+                DecodingOptions(language="en", fp16=False, sample_len=12,
+                                beam_size=2))
+    b2 = decode(model, mel[0],
+                DecodingOptions(language="en", fp16=False, sample_len=12,
+                                beam_size=2, kv_quant=True, kv_bits=4))
+    assert b1.tokens == b2.tokens
+
+
 def test_self_kv_quant_matches_fp_path(model, mel):
     """int8 self-attention KV cache (per-slot scales) must reproduce the
     full-precision tokens on the test model, greedy and beam."""

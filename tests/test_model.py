@@ -183,3 +183,34 @@ def test_single_pass_encoder_attention_matches_reference():
     diff = np.abs(np.asarray(outb, np.float32)
                   - np.asarray(refb, np.float32)).max()
     assert diff < 0.02
+
+
+def test_kv_cache_session_matches_full_forward(model, mel):
+    """install_kv_cache_hooks returns a functional incremental session whose
+    stepwise logits match the full non-incremental forward (the reference's
+    hook-cache contract, whisper_at/model.py:283-314)."""
+    feats, _ = model.embed_audio(jnp.asarray(mel), fp16=False)
+    feats = feats[:1]
+    toks = jnp.asarray([[50258, 50259, 50359, 50364, 400, 500]], jnp.int32)
+
+    full = np.asarray(model.logits(toks, feats, fp16=False))
+
+    cache, hooks = model.install_kv_cache_hooks()
+    assert hooks == []
+    prompt = np.asarray(
+        model.decoder_logits(toks[:, :4], feats, kv_cache=cache, fp16=False)
+    )
+    step1 = np.asarray(
+        model.decoder_logits(toks[:, 4:5], feats, kv_cache=cache, fp16=False)
+    )
+    step2 = np.asarray(
+        model.decoder_logits(toks[:, 5:6], feats, kv_cache=cache, fp16=False)
+    )
+    np.testing.assert_allclose(prompt, full[:, :4], atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(step1, full[:, 4:5], atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(step2, full[:, 5:6], atol=2e-4, rtol=2e-4)
+
+    # cacheless call == plain full forward
+    np.testing.assert_allclose(
+        np.asarray(model.decoder_logits(toks, feats, fp16=False)), full,
+        atol=0, rtol=0)

@@ -28,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def build_step_fn(model, weight_quant, kv_quant, self_kv_quant, kv_layout,
-                  compute_dtype):
+                  compute_dtype, kv_bits=8):
     import jax
     import jax.numpy as jnp
 
@@ -46,7 +46,7 @@ def build_step_fn(model, weight_quant, kv_quant, self_kv_quant, kv_layout,
     def prepare(feats):
         ck, cv = precompute_cross_kv(
             dec, feats, dims.n_text_head, compute_dtype,
-            quantize=kv_quant, layout=kv_layout,
+            quantize=kv_quant, layout=kv_layout, bits=kv_bits,
         )
         return ck, cv
 
@@ -139,6 +139,12 @@ def main():
                              self_kv_quant=True, kv_layout="heads"),
         "all-int8": dict(weight_quant=True, kv_quant=True,
                          self_kv_quant=True, kv_layout="heads"),
+        "cross-kv-int4": dict(weight_quant=False, kv_quant=True,
+                              self_kv_quant=False, kv_layout="heads",
+                              kv_bits=4),
+        "int4kv+int8rest": dict(weight_quant=True, kv_quant=True,
+                                self_kv_quant=True, kv_layout="heads",
+                                kv_bits=4),
     }
 
     def softmax(x):

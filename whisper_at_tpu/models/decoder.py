@@ -176,18 +176,27 @@ def attention_decode(
     return jnp.einsum("bhts,bhsd->bhtd", w, vh)
 
 
-def _quantize_sym(x: jnp.ndarray, axis: int) -> dict:
-    """Symmetric int8 quantization with per-slice scales along `axis`."""
+def _quantize_sym(x: jnp.ndarray, axis: int, bits: int = 8) -> dict:
+    """Symmetric int quantization with per-slice scales along `axis`.
+
+    bits=8 stores int8 (+-127 levels); bits=4 stores jnp.int4 (+-7 levels,
+    XLA packs two values per HBM byte on TPU) — halves the decode loop's
+    dominant cross-KV stream again at a parity cost quantified by
+    tools/quant_divergence.py.
+    """
+    qmax = {8: 127.0, 4: 7.0}[bits]
+    dtype = {8: jnp.int8, 4: jnp.int4}[bits]
     amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=axis, keepdims=True)
-    scale = amax / 127.0 + 1e-12
-    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127).astype(
-        jnp.int8
+    scale = amax / qmax + 1e-12
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -qmax, qmax).astype(
+        dtype
     )
     return {"q": q, "s": scale}
 
 
 @partial(
-    jax.jit, static_argnames=("n_head", "compute_dtype", "quantize", "layout")
+    jax.jit,
+    static_argnames=("n_head", "compute_dtype", "quantize", "layout", "bits"),
 )
 def precompute_cross_kv(
     params: dict,
@@ -196,6 +205,7 @@ def precompute_cross_kv(
     compute_dtype=jnp.float32,
     quantize: bool = False,
     layout: str = "heads",
+    bits: int = 8,
 ):
     """Cross-attention keys/values for all layers, computed once per decode.
 
@@ -222,8 +232,8 @@ def precompute_cross_kv(
         k = _split_kt(linear(ca["key"], xa), n_head)  # [B, H, Dh, Ta]
         v = _split_v(linear(ca["value"], xa), n_head)  # [B, H, Ta, Dh]
         if quantize:
-            kq = _quantize_sym(k, axis=-2)
-            vq = _quantize_sym(v, axis=-1)
+            kq = _quantize_sym(k, axis=-2, bits=bits)
+            vq = _quantize_sym(v, axis=-1, bits=bits)
             if layout == "fused":
                 b, h, dh, ta = k.shape
                 ta_pad = pad_ta(ta)

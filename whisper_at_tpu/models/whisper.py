@@ -175,18 +175,80 @@ class Whisper:
         return self.logits(tokens, audio_features)
 
     def install_kv_cache_hooks(self, cache=None):
-        """API-parity stub for the reference's hook-based cache
-        (whisper_at/model.py:283-314). This framework threads the KV cache
-        functionally through the jitted decode loop instead — there is no
-        mutable module state to hook."""
-        raise NotImplementedError(
-            "whisper_at_tpu uses a functional KV cache inside the jitted "
-            "decode loop (models/decoder.py); hooks do not exist. Use "
-            "decode()/transcribe(), or decoder_forward() for custom loops."
-        )
+        """Functional analogue of the reference's hook-based cache
+        (whisper_at/model.py:283-314).
+
+        The reference registers forward hooks on the decoder's key/value
+        projections and returns (cache, hooks); callers then run
+        ``model.decoder(tokens, audio_features, kv_cache=cache)``
+        token-by-token. Here the KV cache is threaded functionally, so this
+        returns a `KVCacheSession` (plus an empty hook list — there is no
+        mutable module state to unhook). Use it the same way:
+
+            cache, hooks = model.install_kv_cache_hooks()
+            logits = model.decoder_logits(tokens, audio_features,
+                                          kv_cache=cache)   # prompt
+            logits = model.decoder_logits(next_token, audio_features,
+                                          kv_cache=cache)   # one step
+        """
+        return KVCacheSession(self), []
+
+    def decoder_logits(self, tokens, audio_features, kv_cache=None,
+                       fp16: bool = True):
+        """Decoder forward -> fp32 logits [B, S, V].
+
+        kv_cache=None recomputes from scratch (the reference's hook-less
+        path); passing a `KVCacheSession` appends `tokens` to the cached
+        positions and returns logits for just those positions — the
+        incremental decode API the reference builds from its hooks
+        (whisper_at/decoding.py PyTorchInference.logits).
+        """
+        if kv_cache is None:
+            return self.logits(tokens, audio_features, fp16=fp16)
+        return kv_cache.logits(tokens, audio_features, fp16=fp16)
 
     # bound in __init__.py to avoid circular imports:
     #   detect_language / decode / transcribe
+
+
+class KVCacheSession:
+    """Incremental decoder state: the functional replacement for the
+    reference's hook-populated cache dict (whisper_at/model.py:283-314).
+
+    Holds the precomputed cross-attention KV (built lazily from the first
+    call's audio_features, as the reference's first-use hook does) and the
+    growing self-attention cache; each `logits` call appends its tokens.
+    """
+
+    def __init__(self, model: "Whisper"):
+        self.model = model
+        self._cross = None
+        self._self_kv = None
+        self._pos = 0
+
+    def logits(self, tokens, audio_features, fp16: bool = True):
+        dims = self.model.dims
+        compute_dtype = self.model.compute_dtype(fp16)
+        dec = self.model.decoder_params_fused
+        if tokens.ndim == 1:
+            tokens = tokens[None]
+        if self._cross is None:
+            self._cross = precompute_cross_kv(
+                dec, audio_features, dims.n_text_head, compute_dtype
+            )
+            self._self_kv = init_cache(
+                dims.n_text_layer, tokens.shape[0], dims.n_text_ctx,
+                dims.n_text_state, compute_dtype, dims.n_text_head,
+            )
+        ck, cv = self._cross
+        sk, sv = self._self_kv
+        hidden, sk, sv = decoder_forward(
+            dec, tokens, ck, cv, sk, sv, jnp.int32(self._pos), jnp.int32(0),
+            dims.n_text_head, compute_dtype,
+        )
+        self._self_kv = (sk, sv)
+        self._pos += tokens.shape[1]
+        return project_logits(dec, hidden)
 
 
 def build_model(

