@@ -304,6 +304,19 @@ def passthrough_flags(args):
     return flags
 
 
+def build_attempt_plan(args):
+    """(batch ladder, mode flags) for the requested measurement."""
+    if args.config:
+        return [None] * 3, ["--config", args.config]  # batch from CONFIGS
+    if args.serving:
+        return ([args.batch, args.batch, max(args.batch // 2, 1)],
+                ["--serving", "--size", args.size])
+    ladder = [b for b in HEADLINE_LADDER if b <= args.batch] or [args.batch]
+    if args.batch not in HEADLINE_LADDER:
+        ladder = [args.batch] + list(ladder)
+    return ladder, ["--size", args.size]
+
+
 def orchestrate(args):
     start = time.time()
     deadline = start + args.budget
@@ -338,17 +351,7 @@ def orchestrate(args):
     errors = []
 
     # ---- headline (or the single requested config/serving mode) ---------- #
-    if args.config:
-        ladder = [None] * 3          # preset batch comes from CONFIGS
-        mode_flags = ["--config", args.config]
-    elif args.serving:
-        ladder = [args.batch, args.batch, max(args.batch // 2, 1)]
-        mode_flags = ["--serving", "--size", args.size]
-    else:
-        ladder = [b for b in HEADLINE_LADDER if b <= args.batch] or [args.batch]
-        if args.batch not in HEADLINE_LADDER:
-            ladder = [args.batch] + list(ladder)
-        mode_flags = ["--size", args.size]
+    ladder, mode_flags = build_attempt_plan(args)
 
     result = None
     for attempt, batch in enumerate(ladder):

@@ -1,0 +1,90 @@
+"""Unit tests for the bench.py orchestrator logic (no TPU, no model build).
+
+The orchestrator is the driver's capture path — a logic bug here zeroes a
+round's headline, so the attempt planning and flag plumbing are pinned.
+"""
+
+import importlib.util
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def bench():
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(_REPO, "bench.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _args(bench, argv):
+    return bench.build_parser().parse_args(argv)
+
+
+def test_headline_ladder_default(bench):
+    ladder, flags = bench.build_attempt_plan(_args(bench, []))
+    assert ladder == [24, 24, 16, 8, 8]
+    assert flags == ["--size", "large-v1"]
+
+
+def test_headline_ladder_small_batch(bench):
+    ladder, _ = bench.build_attempt_plan(_args(bench, ["--batch", "8"]))
+    assert ladder == [8, 8]  # no fallback above the requested batch
+    ladder, _ = bench.build_attempt_plan(_args(bench, ["--batch", "12"]))
+    assert ladder[0] == 12  # non-ladder batch leads, then falls back
+    assert 8 in ladder
+
+
+def test_preset_plan_uses_config_batch(bench):
+    ladder, flags = bench.build_attempt_plan(
+        _args(bench, ["--config", "large-beam"]))
+    assert all(b is None for b in ladder)  # batch comes from CONFIGS
+    assert flags == ["--config", "large-beam"]
+
+
+def test_serving_plan(bench):
+    ladder, flags = bench.build_attempt_plan(_args(bench, ["--serving"]))
+    assert ladder == [24, 24, 12]
+    assert "--serving" in flags
+
+
+def test_passthrough_flags_roundtrip(bench):
+    args = _args(bench, ["--no-kv-quant", "--kv-bits", "4", "--tokens", "32"])
+    flags = bench.passthrough_flags(args)
+    re_args = _args(bench, flags)
+    assert re_args.kv_quant is False
+    assert re_args.kv_bits == 4
+    assert re_args.tokens == 32
+    assert re_args.weight_quant is True  # untouched defaults survive
+
+
+def test_configs_cover_all_baseline_presets(bench):
+    assert set(bench.CONFIGS) == {
+        "tiny-single", "base-10min", "small-low", "medium-translate",
+        "large-beam",
+    }
+
+
+def test_failure_path_emits_valid_json_rc0():
+    """Total failure must still print one parseable JSON line and exit 0 —
+    the driver records rc and the line; a traceback loses the round."""
+    proc = subprocess.run(
+        [sys.executable, os.path.join(_REPO, "bench.py"),
+         "--size", "tiny", "--budget", "1", "--no-presets"],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 0
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    assert len(lines) == 1
+    rec = json.loads(lines[0])
+    assert rec["degraded"] is True
+    assert rec["unit"] == "audio-sec/sec"
+    assert {"metric", "value", "vs_baseline"} <= set(rec)

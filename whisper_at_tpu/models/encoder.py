@@ -153,13 +153,24 @@ def encoder_apply_taps(
     t = x.shape[1]
     x = x + params["positional_embedding"][:t].astype(compute_dtype)
 
+    from ..ops.flash import HAVE_FLASH, encoder_attention_tpu
+
+    use_flash = (
+        HAVE_FLASH
+        and compute_dtype == jnp.bfloat16
+        and jax.default_backend() == "tpu"
+    )
+
     def body(carry, block_params):
         h = carry
         tap = h  # input of this block == output of the previous layer
         q, k, v = mha_project_qkv(
             block_params["attn"], layer_norm(block_params["attn_ln"], h)
         )
-        attn_out, _ = attention(q, k, v, n_head)
+        if use_flash:
+            attn_out = encoder_attention_tpu(q, k, v, n_head)
+        else:
+            attn_out, _ = attention(q, k, v, n_head)
         h = h + linear(block_params["attn"]["out"], attn_out)
         h = h + mlp(block_params["mlp"], layer_norm(block_params["mlp_ln"], h))
         return h, tap
