@@ -197,7 +197,7 @@ def run_measurement(args):
     return {
         "metric": f"{args.size} {mode} transcribe+tag throughput "
                   f"({args.tokens} tok/30s-window, batch {args.batch}, "
-                  f"{'int8 cross-KV, ' if args.kv_quant else ''}"
+                  f"{f'int{args.kv_bits} cross-KV, ' if args.kv_quant else ''}"
                   f"{'int8 weights, ' if args.weight_quant else ''}"
                   f"{'int8 self-KV, ' if args.self_kv_quant else ''}1 chip)",
         "value": round(rtf, 2),

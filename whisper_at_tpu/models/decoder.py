@@ -176,6 +176,27 @@ def attention_decode(
     return jnp.einsum("bhts,bhsd->bhtd", w, vh)
 
 
+def _pack4(x: jnp.ndarray) -> jnp.ndarray:
+    """int4 [..., N] -> int8-packed [..., N/2] (two nibbles per byte).
+
+    jax int4 arrays crossing a jit boundary trip a device_put recursion bug
+    (S4 layouts), so quantized tensors travel between the precompute jit and
+    the decode-loop jit as packed int8 and unpack (a free bitcast) inside
+    the consumer.
+    """
+    return jax.lax.bitcast_convert_type(
+        x.reshape(*x.shape[:-1], x.shape[-1] // 2, 2), jnp.int8
+    )
+
+
+def _unpack_q(d: dict) -> jnp.ndarray:
+    """The quantized payload of {"q": int8} or {"q4": packed int4}."""
+    if "q" in d:
+        return d["q"]
+    u = jax.lax.bitcast_convert_type(d["q4"], jnp.int4)
+    return u.reshape(*u.shape[:-2], u.shape[-2] * 2)
+
+
 def _quantize_sym(x: jnp.ndarray, axis: int, bits: int = 8) -> dict:
     """Symmetric int quantization with per-slice scales along `axis`.
 
@@ -234,6 +255,12 @@ def precompute_cross_kv(
         if quantize:
             kq = _quantize_sym(k, axis=-2, bits=bits)
             vq = _quantize_sym(v, axis=-1, bits=bits)
+            if bits == 4:
+                # travel packed-int8 across the jit boundary (see _pack4);
+                # K packs along Ta, V along Dh — both even
+                kq = {"q4": _pack4(kq["q"]), "s": kq["s"]}
+                vq = {"q4": _pack4(vq["q"]), "s": vq["s"]}
+                return None, (kq, vq)
             if layout == "fused":
                 b, h, dh, ta = k.shape
                 ta_pad = pad_ta(ta)
@@ -458,7 +485,7 @@ def decoder_forward(
                 jnp.einsum(
                     "bhtd,bhds->bhts",
                     qh_c,
-                    ck["q"].astype(compute_dtype),
+                    _unpack_q(ck).astype(compute_dtype),
                     preferred_element_type=jnp.float32,
                 )
                 * ck["s"][:, :, 0, :][:, :, None, :]  # per-key-position scale
@@ -468,7 +495,7 @@ def decoder_forward(
             # fold the V scales (per key position) into the softmax weights
             w = (w * cv["s"][..., 0][:, :, None, :]).astype(compute_dtype)
             attn_out = jnp.einsum(
-                "bhts,bhsd->bhtd", w, cv["q"].astype(compute_dtype)
+                "bhts,bhsd->bhtd", w, _unpack_q(cv).astype(compute_dtype)
             )
         else:
             attn_out = attention_decode(
@@ -494,7 +521,7 @@ def decoder_forward(
             h = h + mlp(block_params["mlp"], normed)
         return (h, sk_all, sv_all), None
 
-    n_layer = (cross_k["q"] if isinstance(cross_k, dict) else cross_k).shape[0]
+    n_layer = (cross_k.get("q", cross_k.get("q4")) if isinstance(cross_k, dict) else cross_k).shape[0]
     layer_ids = jnp.arange(n_layer, dtype=jnp.int32)
     # note: unrolling this scan was measured SLOWER on v5e (2.5 s vs 1.3 s
     # for a 96-token large-v1 decode) — the carried cache updates duplicate
