@@ -5,6 +5,7 @@ independent implementation of the reference math. Incremental decoding is
 additionally checked for self-consistency against the full forward pass.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -214,3 +215,39 @@ def test_kv_cache_session_matches_full_forward(model, mel):
     np.testing.assert_allclose(
         np.asarray(model.decoder_logits(toks, feats, fp16=False)), full,
         atol=0, rtol=0)
+
+
+def test_fused_mlp_block_matches_reference():
+    """Encoder fused MLP half-block kernel (ops/mlp_enc.py, interpret mode):
+    LN -> fc1 -> gelu -> fc2 -> residual matches the layers.py composition,
+    including ff-axis tiling (n_ff > 1) and the erf approximation."""
+    from whisper_at_tpu.models.layers import (
+        init_layer_norm,
+        init_linear,
+        layer_norm,
+        mlp,
+    )
+    from whisper_at_tpu.ops.mlp_enc import mlp_block_fused
+
+    rng = np.random.default_rng(3)
+    b, t, d, dff = 2, 300, 128, 512
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    fc1 = init_linear(k1, d, dff)
+    fc2 = init_linear(k2, dff, d)
+    ln = init_layer_norm(d, jnp.float32)
+    ln = {"scale": ln["scale"] * 1.3 + 0.1, "bias": ln["bias"] + 0.05}
+    x = jnp.asarray(rng.standard_normal((b, t, d)) * 0.5, jnp.float32)
+
+    ref = x + mlp({"fc1": fc1, "fc2": fc2}, layer_norm(ln, x))
+    out = mlp_block_fused(x, ln, fc1, fc2, block_m=128, block_ff=128,
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+
+    xb = x.astype(jnp.bfloat16)
+    fc1b = jax.tree.map(lambda v: v.astype(jnp.bfloat16), fc1)
+    fc2b = jax.tree.map(lambda v: v.astype(jnp.bfloat16), fc2)
+    refb = xb + mlp({"fc1": fc1b, "fc2": fc2b}, layer_norm(ln, xb))
+    outb = mlp_block_fused(xb, ln, fc1b, fc2b, block_m=128, interpret=True)
+    assert float(jnp.abs(outb.astype(jnp.float32)
+                         - refb.astype(jnp.float32)).max()) < 0.05

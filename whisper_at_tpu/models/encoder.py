@@ -106,6 +106,15 @@ def encoder_apply(
         and compute_dtype == jnp.bfloat16
         and jax.default_backend() == "tpu"
     )
+    # fused MLP half-block kernel (ops/mlp_enc.py): opt-in via env until its
+    # on-chip wins are recorded; parity-tested in the suite
+    import os as _os
+
+    use_fused_mlp = use_flash and _os.environ.get(
+        "WHISPER_AT_TPU_ENC_MLP", ""
+    ) == "fused"
+    if use_fused_mlp:
+        from ..ops.mlp_enc import mlp_block_fused
 
     def body(carry, block_params):
         h = carry
@@ -117,7 +126,13 @@ def encoder_apply(
         else:
             attn_out, _ = attention(q, k, v, n_head)
         h = h + linear(block_params["attn"]["out"], attn_out)
-        h = h + mlp(block_params["mlp"], layer_norm(block_params["mlp_ln"], h))
+        if use_fused_mlp:
+            h = mlp_block_fused(h, block_params["mlp_ln"],
+                                block_params["mlp"]["fc1"],
+                                block_params["mlp"]["fc2"])
+        else:
+            h = h + mlp(block_params["mlp"],
+                        layer_norm(block_params["mlp_ln"], h))
         pooled = h.reshape(b, t // POOL, POOL, d).mean(axis=2)
         return h, pooled
 

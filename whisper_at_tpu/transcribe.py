@@ -497,6 +497,8 @@ def transcribe_many(
     input_stride, time_precision = _geometry(model)
     task = decode_options.get("task", "transcribe")
 
+    needs_detect = (decode_options.get("language") is None
+                    and model.is_multilingual)
     files = []
     for audio in audios:
         mel = log_mel_spectrogram(audio, padding=N_SAMPLES)
@@ -504,10 +506,27 @@ def transcribe_many(
         n_win = max(1, -(-content_frames // N_FRAMES))
         mel_padded = pad_or_trim(mel, n_win * N_FRAMES)
         wins = mel_padded.T.reshape(n_win, N_FRAMES, -1).transpose(0, 2, 1)
-        opts = dict(decode_options)
-        language = _resolve_language(model, pad_or_trim(mel, N_FRAMES), opts)
+        if needs_detect:
+            language = None  # batched detection below
+        else:
+            opts = dict(decode_options)
+            language = _resolve_language(model, pad_or_trim(mel, N_FRAMES),
+                                         opts)
         files.append({"windows": wins, "content": content_frames,
                       "language": language})
+
+    if needs_detect:
+        # ONE batched language-id pass over every file's first window —
+        # the serving analogue of the reference's per-file detection
+        # (reference transcribe.py:100-116), without a device pass per file
+        from .decoding import detect_language as _detect
+
+        for lo in range(0, len(files), max_batch):
+            chunk = files[lo:lo + max_batch]
+            first = jnp.stack([f["windows"][0] for f in chunk])
+            _, probs = _detect(model, first)
+            for f, p in zip(chunk, probs):
+                f["language"] = max(p, key=p.get)
 
     if mesh is not None:
         from .parallel.inference import place_model_on_mesh
