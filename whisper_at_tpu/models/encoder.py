@@ -77,12 +77,13 @@ def _conv1d(params: dict, x: jnp.ndarray, stride: int) -> jnp.ndarray:
     return y + params["b"].astype(x.dtype)
 
 
-@partial(jax.jit, static_argnames=("n_head", "compute_dtype"))
+@partial(jax.jit, static_argnames=("n_head", "compute_dtype", "kernels"))
 def encoder_apply(
     params: dict,
     mel: jnp.ndarray,
     n_head: int,
     compute_dtype=jnp.float32,
+    kernels: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run the encoder.
 
@@ -102,7 +103,8 @@ def encoder_apply(
     # (the encoder's dominant HBM traffic); fp32 parity mode and CPU use the
     # einsum path
     use_flash = (
-        HAVE_FLASH
+        kernels
+        and HAVE_FLASH
         and compute_dtype == jnp.bfloat16
         and jax.default_backend() == "tpu"
     )

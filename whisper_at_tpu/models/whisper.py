@@ -118,11 +118,14 @@ class Whisper:
         """
         if mel.ndim == 2:
             mel = mel[None]
+        # pallas kernels are single-device Mosaic calls with no partitioning
+        # rules; under a mesh the XLA paths (flash/einsum) partition cleanly
         return encoder_apply(
             self.params["encoder"],
             mel,
             self.dims.n_audio_head,
             self.compute_dtype(fp16),
+            kernels=getattr(self, "_mesh", None) is None,
         )
 
     def at_forward(
