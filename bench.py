@@ -51,6 +51,30 @@ CONFIGS = {
 RESULT_MARKER = "BENCHRESULT "
 TARGET_RTF = 50.0  # BASELINE.json: >=50x real-time per chip at large-v1
 
+# Persistent XLA compilation cache. The tunneled compile service has
+# documented multi-minute slumps (20-200 s for a small matmul, 240 s+
+# timeouts); with a warm disk cache every worker subprocess loads its
+# executables locally and a compile-service slump cannot kill a capture
+# whose programs were ever compiled before. Measured: 45.5 s -> 8.2 s for
+# a fresh process re-running a trivial jitted matmul.
+CACHE_DIR = os.environ.get(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+
+
+def enable_compilation_cache():
+    """Point jax at the persistent on-disk compilation cache (best-effort)."""
+    import jax
+
+    try:
+        os.makedirs(CACHE_DIR, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception as exc:  # pragma: no cover - cache is an optimization
+        log(f"compilation cache unavailable: {exc}")
+
 # Batch fallback ladder for the headline measurement. 24 is the measured
 # v5e throughput sweet spot; smaller batches trade throughput for a shorter
 # per-attempt window (less exposure to a tunnel slump mid-measurement).
@@ -116,6 +140,8 @@ def build_parser():
 
 def run_measurement(args):
     """Build the model, run the batched pipeline, return the result dict."""
+    enable_compilation_cache()
+
     import numpy as np
     import jax.numpy as jnp
 
@@ -212,7 +238,14 @@ def run_measurement(args):
 # --------------------------------------------------------------------------- #
 
 HEALTH_PROBE_CODE = """
-import time, numpy as np, jax, jax.numpy as jnp
+import os, time, numpy as np, jax, jax.numpy as jnp
+try:
+    os.makedirs({cache_dir!r}, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", {cache_dir!r})
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+except Exception:
+    pass
 x = jnp.ones((1000, 1000), jnp.bfloat16)
 f = jax.jit(lambda a: a @ a)
 r = f(x); _ = np.asarray(r[:1, :1])           # compile + first run
@@ -230,7 +263,8 @@ def probe_health(timeout=150.0):
     """
     try:
         proc = subprocess.run(
-            [sys.executable, "-c", HEALTH_PROBE_CODE],
+            [sys.executable, "-c",
+             HEALTH_PROBE_CODE.format(cache_dir=CACHE_DIR)],
             capture_output=True, text=True, timeout=timeout,
             cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
         )
@@ -359,13 +393,16 @@ def orchestrate(args):
         if remaining < 120:
             errors.append("budget exhausted before attempt")
             break
-        health = wait_for_health(min(deadline, time.time() + remaining * 0.4))
+        # bounded health wait: never burn more than ~3 min (or 25% of the
+        # remaining budget) before a rung — and a degraded probe does NOT
+        # skip the attempt: compile-cached programs often still finish
+        # during slumps while fresh probe compiles hang
+        health = wait_for_health(
+            min(deadline, time.time() + min(180, remaining * 0.25))
+        )
         if health is None or health >= 5.0:
-            errors.append(f"attempt {attempt}: chip degraded (probe {health})")
-            # try anyway on the last attempt: compile-cached programs often
-            # still finish during slumps while fresh probes are slow
-            if attempt < len(ladder) - 1:
-                continue
+            log(f"attempt {attempt}: probe degraded ({health}) — attempting "
+                "the measurement anyway")
         worker_args = list(mode_flags) + base_flags
         if batch is not None:
             worker_args += ["--batch", str(batch)]

@@ -145,15 +145,26 @@ def main():
     args = parser.parse_args()
 
     if args.mesh_dp and len(jax.devices()) < args.mesh_dp:
+        if os.environ.get("WAT_TRAJ_CHILD"):
+            raise SystemExit(
+                f"re-exec'd child still sees {len(jax.devices())} devices "
+                f"< dp={args.mesh_dp}; an ambient XLA_FLAGS "
+                "xla_force_host_platform_device_count is overriding — unset "
+                "it or pass a matching --mesh-dp"
+            )
+        import re
         import subprocess
 
         env = dict(os.environ)
         flags = env.get("XLA_FLAGS", "")
-        if "xla_force_host_platform_device_count" not in flags:
-            flags = (flags + " --xla_force_host_platform_device_count="
-                     f"{args.mesh_dp}").strip()
-        env["XLA_FLAGS"] = flags
+        # override any existing (smaller) forced device count
+        flags = re.sub(r"--xla_force_host_platform_device_count=\d+", "",
+                       flags)
+        env["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={args.mesh_dp}"
+        ).strip()
         env["WAT_FORCE_CPU"] = "1"  # read below before jax backend init
+        env["WAT_TRAJ_CHILD"] = "1"  # re-exec at most once
         raise SystemExit(subprocess.run(
             [sys.executable, os.path.abspath(__file__)]
             + [a for a in sys.argv[1:]], env=env,

@@ -119,10 +119,14 @@ def main():
                               task="transcribe")
     sot_seq = list(tokenizer.sot_sequence)
 
+    # the same signal class (and int16 PCM grid) the benchmark runs, so the
+    # parity budget is measured on the benchmark's actual input
     rng = np.random.default_rng(args.seed)
     t = np.arange(16000 * 30) / 16000.0
     audio = (0.3 * np.sin(2 * np.pi * 220.0 * t)
              + 0.05 * rng.standard_normal(len(t))).astype(np.float32)
+    audio = ((np.clip(audio, -1.0, 1.0) * 32767.0).astype(np.int16)
+             .astype(np.float32) / 32768.0)
     mel = pad_or_trim(log_mel_spectrogram(audio), N_FRAMES)[None]
     feats, _ = model.embed_audio(mel, fp16=not args.fp32)
 

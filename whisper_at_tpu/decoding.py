@@ -23,6 +23,7 @@ import numpy as np
 
 from .audio import CHUNK_LENGTH
 from .models.decoder import (
+    cross_kv_payload,
     decoder_forward,
     init_cache,
     precompute_cross_kv,
@@ -235,7 +236,7 @@ def greedy_sample_loop(
     Returns (tokens [B, total], sum_logprobs [B], no_speech_probs [B], n_steps).
     Sampled tokens occupy slots [prefill, prefill + n_steps).
     """
-    _ck_arr = cross_k.get("q", cross_k.get("q4")) if isinstance(cross_k, dict) else cross_k
+    _ck_arr = cross_kv_payload(cross_k)
     n_layer, b = _ck_arr.shape[0], buf_init.shape[0]
     # rows per shared audio (best-of groups): cross tensors keep one row per
     # audio; the decoder folds grouped rows into the attention sequence axis
@@ -399,7 +400,7 @@ def beam_sample_loop(
     """
     k_beam = beam_size
     n_cand = k_beam * (k_beam + 1)
-    _ck_arr = cross_k.get("q", cross_k.get("q4")) if isinstance(cross_k, dict) else cross_k
+    _ck_arr = cross_kv_payload(cross_k)
     n_layer, bk = _ck_arr.shape[0], buf_init.shape[0]
     # beams share their window's audio: cross tensors carry one row per
     # audio (group = k_beam) — or bk rows if the caller pre-repeated them

@@ -189,6 +189,15 @@ def _pack4(x: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def cross_kv_payload(x) -> jnp.ndarray:
+    """The quantized (or plain) payload array of a cross-KV operand — the
+    single place that knows the {"q", "q4"} key set (shape derivation in
+    the sampling loops routes through here)."""
+    if isinstance(x, dict):
+        return x.get("q", x.get("q4"))
+    return x
+
+
 def _unpack_q(d: dict) -> jnp.ndarray:
     """The quantized payload of {"q": int8} or {"q4": packed int4}."""
     if "q" in d:
@@ -521,7 +530,7 @@ def decoder_forward(
             h = h + mlp(block_params["mlp"], normed)
         return (h, sk_all, sv_all), None
 
-    n_layer = (cross_k.get("q", cross_k.get("q4")) if isinstance(cross_k, dict) else cross_k).shape[0]
+    n_layer = cross_kv_payload(cross_k).shape[0]
     layer_ids = jnp.arange(n_layer, dtype=jnp.int32)
     # note: unrolling this scan was measured SLOWER on v5e (2.5 s vs 1.3 s
     # for a 96-token large-v1 decode) — the carried cache updates duplicate

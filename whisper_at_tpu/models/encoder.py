@@ -77,13 +77,15 @@ def _conv1d(params: dict, x: jnp.ndarray, stride: int) -> jnp.ndarray:
     return y + params["b"].astype(x.dtype)
 
 
-@partial(jax.jit, static_argnames=("n_head", "compute_dtype", "kernels"))
+@partial(jax.jit,
+         static_argnames=("n_head", "compute_dtype", "attn_impl", "mlp_impl"))
 def encoder_apply(
     params: dict,
     mel: jnp.ndarray,
     n_head: int,
     compute_dtype=jnp.float32,
-    kernels: bool = True,
+    attn_impl: str = "single",
+    mlp_impl: str = "xla",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run the encoder.
 
@@ -99,22 +101,19 @@ def encoder_apply(
     x = x + params["positional_embedding"].astype(compute_dtype)
 
     b, t, d = x.shape
-    # flash attention on TPU avoids materializing the fp32 [B,H,T,T] logits
-    # (the encoder's dominant HBM traffic); fp32 parity mode and CPU use the
-    # einsum path
+    # kernel attention on TPU avoids materializing the fp32 [B,H,T,T] logits
+    # (the encoder's dominant HBM traffic); fp32 parity mode, CPU, and
+    # mesh-placed models (attn_impl="off") use the einsum path. The impls
+    # are STATIC args resolved by the caller (e.g. Whisper.embed_audio reads
+    # the env overrides per call) — never read from the environment inside
+    # this traced function, where they would be silently jit-cached.
     use_flash = (
-        kernels
+        attn_impl != "off"
         and HAVE_FLASH
         and compute_dtype == jnp.bfloat16
         and jax.default_backend() == "tpu"
     )
-    # fused MLP half-block kernel (ops/mlp_enc.py): opt-in via env until its
-    # on-chip wins are recorded; parity-tested in the suite
-    import os as _os
-
-    use_fused_mlp = use_flash and _os.environ.get(
-        "WHISPER_AT_TPU_ENC_MLP", ""
-    ) == "fused"
+    use_fused_mlp = use_flash and mlp_impl == "fused"
     if use_fused_mlp:
         from ..ops.mlp_enc import mlp_block_fused
 
@@ -124,7 +123,7 @@ def encoder_apply(
             block_params["attn"], layer_norm(block_params["attn_ln"], h)
         )
         if use_flash:
-            attn_out = encoder_attention_tpu(q, k, v, n_head)
+            attn_out = encoder_attention_tpu(q, k, v, n_head, impl=attn_impl)
         else:
             attn_out, _ = attention(q, k, v, n_head)
         h = h + linear(block_params["attn"]["out"], attn_out)
@@ -143,13 +142,15 @@ def encoder_apply(
     return x, all_x.transpose(1, 0, 2, 3)  # [B, L, T/20, D]
 
 
-@partial(jax.jit, static_argnames=("n_head", "tap_mode", "compute_dtype"))
+@partial(jax.jit,
+         static_argnames=("n_head", "tap_mode", "compute_dtype", "attn_impl"))
 def encoder_apply_taps(
     params: dict,
     mel: jnp.ndarray,
     n_head: int,
     tap_mode: str = "all_nopool",
     compute_dtype=jnp.float32,
+    attn_impl: str = "single",
 ) -> jnp.ndarray:
     """Feature-extraction encoder with truncated inputs and tap modes.
 
@@ -173,7 +174,8 @@ def encoder_apply_taps(
     from ..ops.flash import HAVE_FLASH, encoder_attention_tpu
 
     use_flash = (
-        HAVE_FLASH
+        attn_impl != "off"
+        and HAVE_FLASH
         and compute_dtype == jnp.bfloat16
         and jax.default_backend() == "tpu"
     )
@@ -185,7 +187,7 @@ def encoder_apply_taps(
             block_params["attn"], layer_norm(block_params["attn_ln"], h)
         )
         if use_flash:
-            attn_out = encoder_attention_tpu(q, k, v, n_head)
+            attn_out = encoder_attention_tpu(q, k, v, n_head, impl=attn_impl)
         else:
             attn_out, _ = attention(q, k, v, n_head)
         h = h + linear(block_params["attn"]["out"], attn_out)

@@ -118,14 +118,25 @@ class Whisper:
         """
         if mel.ndim == 2:
             mel = mel[None]
-        # pallas kernels are single-device Mosaic calls with no partitioning
-        # rules; under a mesh the XLA paths (flash/einsum) partition cleanly
+        # pallas kernels (incl. the generic flash kernel) are single-device
+        # Mosaic calls with no partitioning rules; under a mesh the einsum
+        # path partitions cleanly. Env overrides are read HERE, outside jit,
+        # and passed as static args (reading them inside the traced function
+        # would silently cache the first value).
+        import os
+
+        if getattr(self, "_mesh", None) is not None:
+            attn_impl, mlp_impl = "off", "xla"
+        else:
+            attn_impl = os.environ.get("WHISPER_AT_TPU_ENC_ATTN", "single")
+            mlp_impl = os.environ.get("WHISPER_AT_TPU_ENC_MLP", "xla")
         return encoder_apply(
             self.params["encoder"],
             mel,
             self.dims.n_audio_head,
             self.compute_dtype(fp16),
-            kernels=getattr(self, "_mesh", None) is None,
+            attn_impl=attn_impl,
+            mlp_impl=mlp_impl,
         )
 
     def at_forward(
@@ -228,10 +239,13 @@ class KVCacheSession:
         self._cross = None
         self._self_kv = None
         self._pos = 0
+        self._dtype = None  # captured at first call; later fp16 flags ignored
 
     def logits(self, tokens, audio_features, fp16: bool = True):
         dims = self.model.dims
-        compute_dtype = self.model.compute_dtype(fp16)
+        if self._dtype is None:
+            self._dtype = self.model.compute_dtype(fp16)
+        compute_dtype = self._dtype  # caches are built in this dtype
         dec = self.model.decoder_params_fused
         if tokens.ndim == 1:
             tokens = tokens[None]

@@ -34,18 +34,18 @@ def _pad_len(t: int) -> int:
     return -(-t // _BLOCK) * _BLOCK
 
 
-def encoder_attention_tpu(q, k, v, n_head: int):
+def encoder_attention_tpu(q, k, v, n_head: int, impl: str = "single"):
     """Encoder attention dispatch for the TPU path.
 
-    Default is the whisper-geometry single-pass kernel (ops/flash_enc.py):
-    the whole per-(batch, head) problem fits in VMEM, so it skips the
-    generic flash kernel's online-softmax bookkeeping. Set
-    WHISPER_AT_TPU_ENC_ATTN=flash to force the generic pallas flash
-    kernel, or =xla for the einsum path.
+    impl="single" (default): the whisper-geometry single-pass kernel
+    (ops/flash_enc.py) — the whole per-(batch, head) problem fits in VMEM,
+    so it skips the generic flash kernel's online-softmax bookkeeping.
+    impl="flash": the generic pallas flash kernel. impl="xla": einsum.
+    The choice must be threaded as a STATIC argument from outside any jit
+    (Whisper.embed_audio reads the WHISPER_AT_TPU_ENC_ATTN env override per
+    call) — an env read inside a traced function would be jit-cached.
     """
-    import os
-
-    choice = os.environ.get("WHISPER_AT_TPU_ENC_ATTN", "single")
+    choice = impl
     d_head = q.shape[-1] // n_head
     if choice == "single" and d_head % 64 == 0:
         from .flash_enc import HAVE_PALLAS, encoder_attention

@@ -22,6 +22,17 @@ import numpy as np
 from ..audio import load_audio, log_mel_spectrogram, pad_or_trim
 from ..models.encoder import encoder_apply_taps
 
+
+def _attn_impl(model) -> str:
+    """Static attention impl for this extraction call: pallas kernels are
+    single-device Mosaic calls, so mesh-placed models use the einsum path;
+    env override read here, OUTSIDE jit (a traced read would be cached)."""
+    import os
+
+    if getattr(model, "_mesh", None) is not None:
+        return "off"
+    return os.environ.get("WHISPER_AT_TPU_ENC_ATTN", "single")
+
 POOL = 20
 
 
@@ -45,6 +56,7 @@ def extract_features(
         model.dims.n_audio_head,
         "all_nopool",
         model.compute_dtype(fp16),
+        attn_impl=_attn_impl(model),
     )[0]  # [L+1, T', D]
     taps = np.asarray(taps, np.float32)
     n_layers, t, d = taps.shape
@@ -76,6 +88,7 @@ def extract_features_padded(
         model.dims.n_audio_head,
         "all_nopool",
         model.compute_dtype(fp16),
+        attn_impl=_attn_impl(model),
     )[0]
     taps = np.asarray(taps, np.float32)[1:, :n_tokens]  # drop embedding tap
     n_layers, t, d = taps.shape
@@ -119,6 +132,7 @@ def extract_feature_set(
             model.dims.n_audio_head,
             "all_nopool",
             model.compute_dtype(fp16),
+            attn_impl=_attn_impl(model),
         )
         taps = np.asarray(taps, np.float32)  # [B, L+1, T', D]
         b, n_layers, t, d = taps.shape
