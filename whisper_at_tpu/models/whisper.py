@@ -129,7 +129,11 @@ class Whisper:
             attn_impl, mlp_impl = "off", "xla"
         else:
             attn_impl = os.environ.get("WHISPER_AT_TPU_ENC_ATTN", "single")
-            mlp_impl = os.environ.get("WHISPER_AT_TPU_ENC_MLP", "xla")
+            # fused MLP half-block kernel default-on for the single-device
+            # TPU bf16 path: 8.83 vs 11.75 ms/layer measured on-chip at
+            # large-v1 batch 24 (ops/mlp_enc.py); encoder_apply still
+            # gates it on TPU+bf16, and meshes take the XLA path above
+            mlp_impl = os.environ.get("WHISPER_AT_TPU_ENC_MLP", "fused")
         return encoder_apply(
             self.params["encoder"],
             mel,
