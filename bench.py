@@ -188,34 +188,60 @@ def run_measurement(args):
         # ships int16 to the device (half the H2D bytes) and dequantizes there
         return (np.clip(a, -1.0, 1.0) * 32767.0).astype(np.int16)
 
+    from whisper_at_tpu.audio import prefetch_audio
+
+    # Steady-state pipelined measurement: iteration i+1's audio transfer is
+    # dispatched (async device_put) inside iteration i's timed window, so it
+    # rides the link under i's decode — exactly what a serving loop does with
+    # the next request. Distinct seeds per iteration keep the tunnel from
+    # shortcutting repeated payloads. Host audio is pre-generated (bench
+    # scaffolding, not pipeline work); the numpy STFT prep + H2D dispatch
+    # stay inside the timed window.
+    n_payloads = args.iters + 2
     if args.serving:
         # many short files (8-25 s) through the cross-file window packer;
         # audio_seconds counts real samples, not padded windows
         durations = [int(d) for d in rng.integers(8, 26, size=3 * args.batch)]
-        files = [make_audio(d, seed_offset=i) for i, d in enumerate(durations)]
-        audio_seconds = float(sum(len(f) for f in files)) / 16000.0
+        payloads = [
+            [make_audio(d, seed_offset=i + 1000 * it)
+             for i, d in enumerate(durations)]
+            for it in range(n_payloads)
+        ]
+        audio_seconds = float(sum(len(f) for f in payloads[0])) / 16000.0
 
-        def pipeline():
-            return transcribe_many(model, files, **common)
+        def prefetch(payload):
+            return [prefetch_audio(f) for f in payload]
+
+        def pipeline(pre):
+            return transcribe_many(model, pre, **common)
     else:
         audio_seconds = args.batch * 30
-        audio = make_audio(audio_seconds)
+        payloads = [make_audio(audio_seconds, seed_offset=it)
+                    for it in range(n_payloads)]
 
-        def pipeline():
+        def prefetch(payload):
+            return prefetch_audio(payload)
+
+        def pipeline(pre):
             # the public batched long-audio path: mel -> batched encode+tag ->
             # batched greedy decode -> segments
-            return transcribe_batched(model, audio, **common)
+            return transcribe_batched(model, pre, **common)
 
-    # warmup (compiles the mel kernel, encoder, prefill, and decode loop)
+    # warmup (compiles the mel kernel, encoder, prefill, and decode loop);
+    # the first measured iteration's transfer overlaps the warmup compute
     t0 = time.perf_counter()
-    pipeline()
+    warm = prefetch(payloads[0])
+    pre = prefetch(payloads[1])
+    pipeline(warm)
     log(f"warmup (compile) {time.perf_counter() - t0:.1f}s")
 
     times = []
-    for _ in range(args.iters):
+    for i in range(args.iters):
         start = time.perf_counter()
-        pipeline()
+        nxt = prefetch(payloads[i + 2])
+        pipeline(pre)
         times.append(time.perf_counter() - start)
+        pre = nxt
 
     best = min(times)
     rtf = audio_seconds / best

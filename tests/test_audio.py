@@ -136,3 +136,39 @@ def test_mel_int16_fast_path_is_bit_exact(chirp):
     ref_off = np.asarray(log_mel_spectrogram(off_grid, padding=160))
     assert np.isfinite(ref_off).all()
     np.testing.assert_allclose(m_grid, ref_off, atol=5e-2)
+
+
+def test_prefetch_audio_mel_is_bit_exact(chirp):
+    from whisper_at_tpu.audio import prefetch_audio
+
+    direct = np.asarray(log_mel_spectrogram(chirp, padding=N_SAMPLES))
+    pre = prefetch_audio(chirp)  # default padding = N_SAMPLES
+    via_prefetch = np.asarray(log_mel_spectrogram(pre, padding=N_SAMPLES))
+    assert via_prefetch.shape == direct.shape
+    assert np.array_equal(via_prefetch, direct)
+
+
+def test_prefetch_audio_padding_mismatch_raises(chirp):
+    from whisper_at_tpu.audio import prefetch_audio
+
+    pre = prefetch_audio(chirp, padding=0)
+    with pytest.raises(ValueError, match="padding"):
+        log_mel_spectrogram(pre, padding=N_SAMPLES)
+
+
+def test_prefetch_audio_from_file(tmp_path, chirp):
+    import wave
+
+    from whisper_at_tpu.audio import prefetch_audio
+
+    path = str(tmp_path / "pre.wav")
+    pcm = (np.clip(chirp, -1, 1) * 32767).astype(np.int16)
+    with wave.open(path, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(16000)
+        wf.writeframes(pcm.tobytes())
+    pre = prefetch_audio(path, padding=0)
+    via_prefetch = np.asarray(log_mel_spectrogram(pre))
+    direct = np.asarray(log_mel_spectrogram(path))
+    assert np.array_equal(via_prefetch, direct)

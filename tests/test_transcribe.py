@@ -390,3 +390,21 @@ def test_transcribe_many_int16_matches_float(model):
     assert a["text"] == b["text"]
     np.testing.assert_array_equal(np.asarray(a["audio_tag"]),
                                   np.asarray(b["audio_tag"]))
+
+
+def test_transcribe_batched_prefetched_audio_identical(model, audio_45s):
+    from whisper_at_tpu.audio import prefetch_audio
+    from whisper_at_tpu.transcribe import transcribe_batched
+
+    kwargs = dict(
+        temperature=0.0, language="en", fp16=False,
+        logprob_threshold=None, compression_ratio_threshold=None,
+        no_speech_threshold=None, sample_len=12,
+    )
+    plain = transcribe_batched(model, audio_45s, **kwargs)
+    pre = prefetch_audio(audio_45s)
+    prefetched = transcribe_batched(model, pre, **kwargs)
+    assert prefetched["text"] == plain["text"]
+    assert [s["tokens"] for s in prefetched["segments"]] == \
+        [s["tokens"] for s in plain["segments"]]
+    assert np.array_equal(prefetched["audio_tag"], plain["audio_tag"])

@@ -21,8 +21,10 @@ from .ops.mel import (
     N_MELS,
     N_SAMPLES,
     SAMPLE_RATE,
+    PrefetchedAudio,
     log_mel_spectrogram_jax,
     mel_filters,
+    prefetch_stft_input,
 )
 from .utils import exact_div
 
@@ -46,6 +48,8 @@ __all__ = [
     "pad_or_trim",
     "mel_filters",
     "log_mel_spectrogram",
+    "PrefetchedAudio",
+    "prefetch_audio",
 ]
 
 
@@ -194,9 +198,31 @@ def log_mel_spectrogram(
     the reference (whisper_at/audio.py:110-157).
     """
     assert n_mels == N_MELS, f"Unsupported n_mels: {n_mels}"
+    if isinstance(audio, PrefetchedAudio):
+        return log_mel_spectrogram_jax(audio, padding=padding)
     if isinstance(audio, str):
         # int16 when losslessly possible: halves the host->device waveform
         # transfer; the device dequant (x / 32768) reproduces load_audio's
         # float32 bit-for-bit
         audio = load_audio_pcm16(audio)
     return log_mel_spectrogram_jax(np.asarray(audio), padding=padding)
+
+
+def prefetch_audio(
+    audio: Union[str, np.ndarray],
+    padding: int = N_SAMPLES,
+) -> PrefetchedAudio:
+    """Start a waveform's host->device transfer NOW, without blocking.
+
+    Returns a PrefetchedAudio accepted by `transcribe`, `transcribe_batched`,
+    `transcribe_many`, and `log_mel_spectrogram` in place of the waveform.
+    The `jax.device_put` dispatch returns in milliseconds while the transfer
+    proceeds concurrently with whatever device work is already in flight —
+    a serving loop prefetches request i+1 while request i decodes, hiding
+    the audio transfer entirely (the transfer is the dominant mel-stage cost
+    over a tunneled TPU). `padding` defaults to the 30 s tail the transcribe
+    paths use; pass padding=0 to mirror bare `log_mel_spectrogram` calls.
+    """
+    if isinstance(audio, str):
+        audio = load_audio_pcm16(audio)
+    return prefetch_stft_input(np.asarray(audio), padding=padding)

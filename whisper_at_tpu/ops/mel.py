@@ -112,17 +112,32 @@ def _log_normalize(mel_spec: jnp.ndarray, n_valid: jnp.ndarray) -> jnp.ndarray:
     return (log_spec + 4.0) / 4.0
 
 
-def log_mel_spectrogram_jax(audio: np.ndarray, padding: int = 0) -> jax.Array:
-    """Compute the log-mel spectrogram of a 16 kHz waveform on device.
+class PrefetchedAudio:
+    """A waveform whose host->device transfer was dispatched asynchronously.
 
-    Matches the reference formula chain (whisper_at/audio.py:110-157) at fp32:
-    reflect-pad 200 samples on both edges (torch.stft center mode), hann-
-    windowed DFT power, mel projection, log/clamp/floor/scale. The last STFT
-    frame is dropped exactly as the reference's `stft[..., :-1]` does.
+    Holds the STFT-ready padded signal as a device array (the `device_put`
+    returns immediately; the transfer proceeds in the background while the
+    caller runs other device work — measured on the tunneled v5e: a 23 MB
+    int16 batch-24 payload hides completely under ~0.6 s of compute).
+    Pass it anywhere a waveform is accepted (`log_mel_spectrogram`,
+    `transcribe`, `transcribe_batched`, `transcribe_many`); the mel stage
+    skips straight to the device DFT. `padding` is pinned at prefetch time
+    and must match the consumer's request.
+    """
 
-    Returns [80, n_frames] with n_frames = (len(audio) + padding) // 160.
-    Device-side shapes are bucketed to 30 s multiples so distinct audio
-    lengths reuse one compiled program.
+    __slots__ = ("sig", "n_frames", "padding")
+
+    def __init__(self, sig: jax.Array, n_frames: int, padding: int):
+        self.sig = sig
+        self.n_frames = n_frames
+        self.padding = padding
+
+
+def _stft_host_prep(audio, padding: int = 0):
+    """Host-side numpy prep shared by the sync and prefetch mel paths.
+
+    int16 grid detection, zero padding, torch-center reflect padding, and
+    30 s-multiple bucket padding. Returns (sig [pad_to], n_frames).
     """
     audio = np.asarray(audio).reshape(-1)
     # lossless int16 transfer fast path: PCM-sourced waveforms (ffmpeg/WAV
@@ -160,7 +175,46 @@ def log_mel_spectrogram_jax(audio: np.ndarray, padding: int = 0) -> jax.Array:
         sig = np.concatenate([sig, np.zeros(pad_to - sig.shape[0], host_dtype)])
     else:
         sig = sig[:pad_to]
+    return sig, n_frames
 
-    mel = _mel_power(jnp.asarray(sig), bucket)  # [bucket, 80]
+
+def prefetch_stft_input(audio, padding: int = 0) -> PrefetchedAudio:
+    """Dispatch the waveform's H2D transfer now; return a PrefetchedAudio.
+
+    `jax.device_put` is asynchronous: this returns in milliseconds while the
+    transfer rides the link in the background, overlapping whatever device
+    work the caller runs next (the decode loop of the previous request, in
+    the serving pattern)."""
+    sig, n_frames = _stft_host_prep(audio, padding)
+    return PrefetchedAudio(jax.device_put(sig), n_frames, padding)
+
+
+def log_mel_spectrogram_jax(audio, padding: int = 0) -> jax.Array:
+    """Compute the log-mel spectrogram of a 16 kHz waveform on device.
+
+    Matches the reference formula chain (whisper_at/audio.py:110-157) at fp32:
+    reflect-pad 200 samples on both edges (torch.stft center mode), hann-
+    windowed DFT power, mel projection, log/clamp/floor/scale. The last STFT
+    frame is dropped exactly as the reference's `stft[..., :-1]` does.
+
+    `audio` may be a host waveform or a PrefetchedAudio (an already-
+    dispatched transfer — see prefetch_stft_input); the math is identical.
+
+    Returns [80, n_frames] with n_frames = (len(audio) + padding) // 160.
+    Device-side shapes are bucketed to 30 s multiples so distinct audio
+    lengths reuse one compiled program.
+    """
+    if isinstance(audio, PrefetchedAudio):
+        if audio.padding != padding:
+            raise ValueError(
+                f"PrefetchedAudio was prepared with padding={audio.padding}, "
+                f"but padding={padding} was requested"
+            )
+        sig, n_frames = audio.sig, audio.n_frames
+    else:
+        sig_np, n_frames = _stft_host_prep(audio, padding)
+        sig = jnp.asarray(sig_np)
+    bucket = max(1, -(-n_frames // N_FRAMES)) * N_FRAMES
+    mel = _mel_power(sig, bucket)  # [bucket, 80]
     log_spec = _log_normalize(mel, jnp.int32(n_frames))
     return log_spec[:n_frames].T  # [80, n_frames]

@@ -28,6 +28,7 @@ import numpy as np
 import tqdm
 
 from .audio import (
+    PrefetchedAudio,
     FRAMES_PER_SECOND,
     HOP_LENGTH,
     N_FRAMES,
@@ -138,7 +139,7 @@ def _attach_word_timings(model, tokenizer, segments, mel_window, num_frames,
 
 def transcribe(
     model,
-    audio: Union[str, np.ndarray],
+    audio: Union[str, np.ndarray, PrefetchedAudio],
     *,
     verbose: Optional[bool] = None,
     temperature: Union[float, Tuple[float, ...]] = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
@@ -289,7 +290,7 @@ def transcribe(
 
 def transcribe_batched(
     model,
-    audio: Union[str, np.ndarray],
+    audio: Union[str, np.ndarray, PrefetchedAudio],
     *,
     temperature: Union[float, Tuple[float, ...]] = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
     compression_ratio_threshold: Optional[float] = 2.4,
