@@ -398,3 +398,65 @@ def test_fused_layout_decode_loop(model, mel):
     b2 = decode(model, mel[0], DecodingOptions(**base, beam_size=2,
                                                kv_layout="fused"))
     assert b1.tokens == b2.tokens
+
+
+def test_fused_int4_cross_kv_matches_heads_int4(model, mel):
+    """The int4 fused layout (Ta-halves nibble packing, in-kernel unpack in
+    ops/cross_decode.py) must reproduce the heads-layout int4 path: both
+    quantize identically (_quantize_sym bits=4), so kernel step, beam step,
+    and wide-prefill einsum outputs must agree across layouts."""
+    from whisper_at_tpu.models.decoder import (
+        decoder_forward, init_cache, precompute_cross_kv)
+
+    audio_features, _ = model.embed_audio(mel, fp16=False)
+    dec_params = model.decoder_params_decode(False)
+    nh = DIMS.n_text_head
+    kv_h = precompute_cross_kv(dec_params, audio_features, nh,
+                               jnp.float32, quantize=True, layout="heads",
+                               bits=4)
+    kv_f = precompute_cross_kv(dec_params, audio_features, nh,
+                               jnp.float32, quantize=True, layout="fused",
+                               bits=4)
+    rng = np.random.default_rng(17)
+
+    def run(kv, tokens, group=1):
+        b = tokens.shape[0]
+        sk, sv = init_cache(DIMS.n_text_layer, b, 96, DIMS.n_text_state,
+                            jnp.float32, nh)
+        h, _, _ = decoder_forward(
+            dec_params, tokens, kv[0], kv[1], sk, sv, jnp.int32(0),
+            jnp.int32(0), nh, jnp.float32, group=group)
+        return np.asarray(h)
+
+    # greedy decode step -> kernel branch with in-kernel nibble unpack
+    tok = jnp.asarray(rng.integers(0, 1000, (2, 1)), jnp.int32)
+    np.testing.assert_allclose(run(kv_h, tok), run(kv_f, tok),
+                               rtol=2e-4, atol=2e-4)
+
+    # beam step: G=3 rides the group axis through the kernel
+    tok_b = jnp.asarray(rng.integers(0, 1000, (6, 1)), jnp.int32)
+    np.testing.assert_allclose(run(kv_h, tok_b, group=3),
+                               run(kv_f, tok_b, group=3),
+                               rtol=2e-4, atol=2e-4)
+
+    # wide prefill -> XLA-side _unpack4_halves_xla einsum branch
+    tok_w = jnp.asarray(rng.integers(0, 1000, (2, 70)), jnp.int32)
+    np.testing.assert_allclose(run(kv_h, tok_w), run(kv_f, tok_w),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_int4_decode_loop_tokens(model, mel):
+    """Full decode() with kv_bits=4 forced onto the fused layout must emit
+    the same tokens as the heads-layout int4 path."""
+    from whisper_at_tpu.decoding import DecodingOptions, decode
+
+    opts = dict(temperature=0.0, sample_len=10, fp16=False, kv_quant=True,
+                kv_bits=4, without_timestamps=True)
+    r_heads = decode(model, mel, DecodingOptions(kv_layout="heads", **opts))
+    r_fused = decode(model, mel, DecodingOptions(kv_layout="fused", **opts))
+    if not isinstance(r_heads, list):
+        r_heads, r_fused = [r_heads], [r_fused]
+    for rh, rf in zip(r_heads, r_fused):
+        assert rh.tokens == rf.tokens
+        np.testing.assert_allclose(rh.avg_logprob, rf.avg_logprob,
+                                   rtol=1e-3, atol=1e-3)

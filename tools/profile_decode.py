@@ -29,6 +29,7 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--steps", type=int, default=96)
     ap.add_argument("--layout", default="fused", choices=["fused", "heads"])
+    ap.add_argument("--kv-bits", type=int, default=8, choices=(8, 4))
     ap.add_argument("--hbm-gbps", type=float, default=819.0,
                     help="HBM bandwidth for the speed-of-light line (v5e)")
     ap.add_argument("--cpu", action="store_true",
@@ -58,7 +59,7 @@ def main():
         np.random.default_rng(0).standard_normal(
             (b, dims.n_audio_ctx, dims.n_audio_state)).astype(np.float32), cd)
     ck, cv = precompute_cross_kv(dec_params, xa, nh, cd, quantize=True,
-                                 layout=args.layout)
+                                 layout=args.layout, bits=args.kv_bits)
     total, prefill = 128, 8
 
     @partial(jax.jit, static_argnames=("n", "with_logits", "n_layer"))
@@ -120,7 +121,7 @@ def main():
     ly, d, h, ta = (dims.n_text_layer, dims.n_text_state, dims.n_text_head,
                     dims.n_audio_ctx)
     w_bytes = ly * (d * 3 * d + 3 * d * d + 8 * d * d)
-    ckv = 2 * ly * b * h * ta * (d // h)
+    ckv = 2 * ly * b * h * ta * (d // h) * args.kv_bits // 8
     skv = 2 * ly * b * h * total * (d // h)
     emb = dims.n_vocab * d * 2  # bf16 pre-transposed embedding
     sol = (w_bytes + ckv + skv + emb) / (args.hbm_gbps * 1e9) * 1e3

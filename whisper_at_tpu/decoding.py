@@ -82,10 +82,11 @@ class DecodingOptions:
     # TPU when kv_quant, "heads" elsewhere); tests force "fused" on CPU to
     # exercise the kernel path (interpret mode) end to end.
     kv_layout: Optional[str] = None
-    # cross-KV quantization width: 8 (int8) or 4 (jnp.int4 — XLA packs two
-    # values per HBM byte, halving the dominant decode stream again; coarser
-    # levels, parity budget via tools/quant_divergence.py). int4 always
-    # takes the "heads" XLA layout (the fused pallas kernel is int8-only).
+    # cross-KV quantization width: 8 (int8) or 4 (two values per HBM byte,
+    # halving the dominant decode stream again; coarser levels, parity
+    # budget via tools/quant_divergence.py). With the fused layout the
+    # pallas kernel unpacks Ta-halves nibbles in-VMEM (free: the kernel is
+    # DMA-bound); the heads layout uses jnp.int4 via XLA.
     kv_bits: int = 8
 
 
@@ -755,11 +756,9 @@ class DecodingTask:
         mesh = getattr(self.model, "_mesh", None)
         kv_layout = options.kv_layout or ("fused" if (
             options.kv_quant and mesh is None
-            and options.kv_bits == 8
+            and options.kv_bits in (8, 4)
             and jax.default_backend() == "tpu"
         ) else "heads")
-        if options.kv_bits != 8:
-            kv_layout = "heads"  # the fused pallas kernel is int8-only
         cross_k, cross_v = precompute_cross_kv(
             dec_params, audio_features,
             self.model.dims.n_text_head, compute_dtype,

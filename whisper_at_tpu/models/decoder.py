@@ -198,6 +198,18 @@ def cross_kv_payload(x) -> jnp.ndarray:
     return x
 
 
+def _unpack4_halves_xla(p: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """XLA-side unpack of the fused layout's Ta-halves nibble packing.
+
+    Mirrors ops/cross_decode._unpack4_halves for the wide-prefill einsum
+    branch: byte j holds position j (low nibble) and position n+j (high
+    nibble) along `axis`."""
+    p32 = p.astype(jnp.int32)
+    low = jnp.right_shift(jnp.left_shift(p32, 28), 28)
+    high = jnp.right_shift(p32, 4)
+    return jnp.concatenate([low, high], axis=axis).astype(jnp.int8)
+
+
 def _unpack_q(d: dict) -> jnp.ndarray:
     """The quantized payload of {"q": int8} or {"q4": packed int4}."""
     if "q" in d:
@@ -264,12 +276,6 @@ def precompute_cross_kv(
         if quantize:
             kq = _quantize_sym(k, axis=-2, bits=bits)
             vq = _quantize_sym(v, axis=-1, bits=bits)
-            if bits == 4:
-                # travel packed-int8 across the jit boundary (see _pack4);
-                # K packs along Ta, V along Dh — both even
-                kq = {"q4": _pack4(kq["q"]), "s": kq["s"]}
-                vq = {"q4": _pack4(vq["q"]), "s": vq["s"]}
-                return None, (kq, vq)
             if layout == "fused":
                 b, h, dh, ta = k.shape
                 ta_pad = pad_ta(ta)
@@ -291,10 +297,36 @@ def precompute_cross_kv(
                     [jnp.zeros((1, ta), jnp.float32),
                      jnp.full((1, pad), -1e30, jnp.float32)], axis=1,
                 )
+                if bits == 4:
+                    # Ta-halves nibble packing: byte j holds position j in
+                    # the low nibble and position ta_pad/2 + j in the high
+                    # nibble, so the consumer's unpack is two shifts and a
+                    # concat along Ta — NO lane interleave (softmax order is
+                    # irrelevant as long as scales/bias/V share it, and the
+                    # halves concat preserves natural order outright).
+                    half = ta_pad // 2
+                    kp = jax.lax.bitcast_convert_type(
+                        jnp.stack([kf[..., :half], kf[..., half:]], axis=-1),
+                        jnp.int8,
+                    )
+                    vp = jax.lax.bitcast_convert_type(
+                        jnp.stack([vf[:, :half], vf[:, half:]], axis=-1),
+                        jnp.int8,
+                    )
+                    return None, (
+                        {"q4": kp, "s": ks, "m": mask},
+                        {"q4": vp, "s": vs},
+                    )
                 return None, (
                     {"q": kf, "s": ks, "m": mask},
                     {"q": vf, "s": vs},
                 )
+            if bits == 4:
+                # travel packed-int8 across the jit boundary (see _pack4);
+                # K packs along Ta, V along Dh — both even
+                kq = {"q4": _pack4(kq["q"]), "s": kq["s"]}
+                vq = {"q4": _pack4(vq["q"]), "s": vq["s"]}
+                return None, (kq, vq)
             return None, (kq, vq)
         return None, (k, v)
 
@@ -452,18 +484,21 @@ def decoder_forward(
                 .transpose(0, 2, 1, 3, 4)
                 .reshape(b_ // group, h_heads, group * s_, dh_)
             )
-        if isinstance(ck, dict) and "m" in ck:  # fused int8 layout
+        if isinstance(ck, dict) and "m" in ck:  # fused int8/int4 layout
             a_, h_heads, t2_, dh_ = qh_c.shape
             scale = dh_ ** -0.5  # exact in bf16 for Dh=64 (power of two)
+            kv_bits = 4 if "q4" in ck else 8
             if h_heads * t2_ <= 256:
                 # decode steps / small prefills: one-matmul pallas kernel
-                # reads the int8 KV stream directly (no bf16 materialization)
+                # reads the int KV stream directly (no bf16 materialization)
                 q_rows = (qh_c * scale).reshape(a_, h_heads * t2_, dh_)
                 out = cross_attention_int8(
                     q_rows.astype(compute_dtype),
-                    ck["q"], ck["s"], cv["q"], cv["s"], ck["m"],
+                    cross_kv_payload(ck), ck["s"],
+                    cross_kv_payload(cv), cv["s"], ck["m"],
                     n_head=h_heads,
                     interpret=jax.default_backend() != "tpu",
+                    bits=kv_bits,
                 )
                 attn_out = out.reshape(a_, h_heads, t2_, dh_).astype(
                     compute_dtype
@@ -471,8 +506,13 @@ def decoder_forward(
             else:
                 # wide prefills (beam x bucket rows): einsum on the same
                 # layout; the additive bias masks the Ta padding
-                ta_pad = ck["q"].shape[-1]
-                ck4 = ck["q"].reshape(a_, h_heads, dh_, ta_pad)
+                if kv_bits == 4:
+                    ckq = _unpack4_halves_xla(ck["q4"], axis=-1)
+                    cvq = _unpack4_halves_xla(cv["q4"], axis=1)
+                else:
+                    ckq, cvq = ck["q"], cv["q"]
+                ta_pad = ckq.shape[-1]
+                ck4 = ckq.reshape(a_, h_heads, dh_, ta_pad)
                 qk = (
                     jnp.einsum(
                         "bhtd,bhds->bhts", qh_c, ck4.astype(compute_dtype),
@@ -484,7 +524,7 @@ def decoder_forward(
                 )
                 w = jax.nn.softmax(qk, axis=-1)
                 w = (w * cv["s"][:, :, None, :]).astype(compute_dtype)
-                cv4 = cv["q"].reshape(a_, ta_pad, h_heads, dh_)
+                cv4 = cvq.reshape(a_, ta_pad, h_heads, dh_)
                 attn_out = jnp.einsum(
                     "bhts,bshd->bhtd", w, cv4.astype(compute_dtype)
                 )

@@ -54,12 +54,45 @@ def pad_ta(ta: int) -> int:
     return -(-ta // LANE) * LANE
 
 
+def _unpack4_halves(p, axis):
+    """Packed Ta-halves int4 (int8 bytes) -> int8 values, natural Ta order.
+
+    Byte j holds position j (low nibble) and position n+j (high nibble),
+    n = packed length — see precompute_cross_kv's bits=4 fused packing. The
+    shifts sign-extend each nibble; concat along `axis` restores natural
+    order with no lane interleave.
+    """
+    p32 = p.astype(jnp.int32)
+    low = jnp.right_shift(jnp.left_shift(p32, 28), 28)
+    high = jnp.right_shift(p32, 4)
+    return jnp.concatenate([low, high], axis=axis)
+
+
 def _kernel(q_ref, kq_ref, ks_ref, vq_ref, vs_ref, bias_ref, out_ref,
-            *, n_head, d_head, groups, chunk):
+            *, n_head, d_head, groups, chunk, bits):
     hg = n_head * groups
     hd = n_head * d_head
-    ta = kq_ref.shape[-1]
+    ta = kq_ref.shape[-1] * (2 if bits == 4 else 1)
     f32 = jnp.float32
+
+    if bits == 4:
+        # the kernel is DMA-bound (a stream-only variant measures the same
+        # time — see STATUS), so the VPU unpack here is free: int4 halves
+        # the dominant HBM stream while compute stays hidden under the DMA
+        k_vals = _unpack4_halves(kq_ref[0], axis=-1)   # [HD, Ta] int32
+        v_vals = _unpack4_halves(vq_ref[0], axis=0)    # [Ta, HD] int32
+
+        def k_chunk(c):
+            return k_vals[:, c:c + chunk]
+
+        def v_chunk(c):
+            return v_vals[c:c + chunk, :]
+    else:
+        def k_chunk(c):
+            return kq_ref[0, :, c:c + chunk]
+
+        def v_chunk(c):
+            return vq_ref[0, c:c + chunk, :]
 
     # ---- QK^T: one MXU matmul via the block-diagonal head fold ---------- #
     q = q_ref[0]  # [HG, Dh] bf16 (pre-scaled by dh^-0.5)
@@ -75,7 +108,7 @@ def _kernel(q_ref, kq_ref, ks_ref, vq_ref, vs_ref, bias_ref, out_ref,
             else jax.lax.Precision.DEFAULT)
     raw = jnp.concatenate(
         [
-            jnp.dot(q_diag, kq_ref[0, :, c:c + chunk].astype(q.dtype),
+            jnp.dot(q_diag, k_chunk(c).astype(q.dtype),
                     preferred_element_type=f32, precision=prec)
             for c in range(0, ta, chunk)
         ],
@@ -105,7 +138,7 @@ def _kernel(q_ref, kq_ref, ks_ref, vq_ref, vs_ref, bias_ref, out_ref,
     full = None
     for c in range(0, ta, chunk):
         part = jnp.dot(pw[:, c:c + chunk],
-                       vq_ref[0, c:c + chunk, :].astype(q.dtype),
+                       v_chunk(c).astype(q.dtype),
                        preferred_element_type=f32, precision=prec)
         full = part if full is None else full + part  # [HG, H*Dh]
 
@@ -117,31 +150,34 @@ def _kernel(q_ref, kq_ref, ks_ref, vq_ref, vs_ref, bias_ref, out_ref,
     out_ref[0] = out.astype(out_ref.dtype)
 
 
-@partial(jax.jit, static_argnames=("n_head", "interpret", "chunk"))
+@partial(jax.jit, static_argnames=("n_head", "interpret", "chunk", "bits"))
 def cross_attention_int8(
     q: jnp.ndarray,     # [B, H*G, Dh] bf16/f32, ALREADY scaled by dh**-0.5
-    k_q: jnp.ndarray,   # [B, H*Dh, Ta_pad] int8
+    k_q: jnp.ndarray,   # [B, H*Dh, Ta_pad] int8 (bits=4: [B, H*Dh, Ta_pad/2])
     k_s: jnp.ndarray,   # [B, H, Ta_pad] fp32
-    v_q: jnp.ndarray,   # [B, Ta_pad, H*Dh] int8
+    v_q: jnp.ndarray,   # [B, Ta_pad, H*Dh] int8 (bits=4: [B, Ta_pad/2, H*Dh])
     v_s: jnp.ndarray,   # [B, H, Ta_pad] fp32
     bias: jnp.ndarray,  # [1, Ta_pad] fp32 additive column mask
     n_head: int,
     interpret: bool = False,
     chunk: int = None,
+    bits: int = 8,
 ) -> jnp.ndarray:
-    """out [B, H*G, Dh] fp32 = softmax(q k^T + bias) v over int8 KV, per head.
+    """out [B, H*G, Dh] fp32 = softmax(q k^T + bias) v over int KV, per head.
 
     Query rows are ordered head-major: row h*G + g is head h, group row g
     (beam hypothesis / prefill token). G = q.shape[1] // n_head.
+    bits=4 consumes the Ta-halves nibble packing of
+    precompute_cross_kv(layout="fused", bits=4) — half the KV stream.
     """
     b, hg, dh = q.shape
     groups = hg // n_head
     assert hg == n_head * groups
-    ta = k_q.shape[-1]
+    ta = k_q.shape[-1] * (2 if bits == 4 else 1)
     if chunk is None:
         chunk = _CHUNK
     kernel = partial(_kernel, n_head=n_head, d_head=dh, groups=groups,
-                     chunk=chunk)
+                     chunk=chunk, bits=bits)
     compiler_params = None
     if not interpret:
         compiler_params = pltpu.CompilerParams(
@@ -155,11 +191,11 @@ def cross_attention_int8(
         in_specs=[
             pl.BlockSpec((1, hg, dh), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k_q.shape[1], ta), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, k_q.shape[1], k_q.shape[2]), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_head, ta), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ta, v_q.shape[2]), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, v_q.shape[1], v_q.shape[2]), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_head, ta), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
