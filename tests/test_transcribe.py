@@ -408,3 +408,30 @@ def test_transcribe_batched_prefetched_audio_identical(model, audio_45s):
     assert [s["tokens"] for s in prefetched["segments"]] == \
         [s["tokens"] for s in plain["segments"]]
     assert np.array_equal(prefetched["audio_tag"], plain["audio_tag"])
+
+
+def test_transcribe_many_prefetched_matches_raw(model):
+    """A list of PrefetchedAudio (the serving loop's pipelined-transfer
+    inputs, as bench.py dispatches them) must produce identical results to
+    the raw waveforms."""
+    import whisper_at_tpu as wat
+    from whisper_at_tpu.audio import prefetch_audio
+
+    rng = np.random.default_rng(29)
+    clips = [
+        (0.2 * rng.standard_normal(16000 * secs)).astype(np.float32)
+        for secs in (6, 33)
+    ]
+    kwargs = dict(
+        language="en", fp16=False, temperature=0.0, sample_len=10,
+        logprob_threshold=None, compression_ratio_threshold=None,
+        no_speech_threshold=None,
+    )
+    raw = wat.transcribe_many(model, clips, max_batch=4, **kwargs)
+    pre = wat.transcribe_many(model, [prefetch_audio(c) for c in clips],
+                              max_batch=4, **kwargs)
+    for got, want in zip(pre, raw):
+        assert got["text"] == want["text"]
+        assert [s["tokens"] for s in got["segments"]] == \
+            [s["tokens"] for s in want["segments"]]
+        np.testing.assert_array_equal(got["audio_tag"], want["audio_tag"])
