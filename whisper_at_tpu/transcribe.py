@@ -366,13 +366,15 @@ def transcribe_batched(
 
     entries = [(grid, w * N_FRAMES, r.audio_features_for_at)
                for w, r in enumerate(results)]
-    _stitch_tags_batched(model, entries, at_time_res, max_batch)
+    # tagging passes run on device while the host assembles segments
+    commit_tags = _stitch_tags_dispatch(model, entries, at_time_res, max_batch)
 
     all_tokens, all_segments = _assemble_windows(
         model, results, windows, content_frames, tokenizer, gate,
         input_stride, time_precision, word_timestamps,
         prepend_punctuations, append_punctuations, verbose,
     )
+    commit_tags()
 
     return dict(
         text=tokenizer.decode(all_tokens),
@@ -384,27 +386,41 @@ def transcribe_batched(
 
 
 def _stitch_tags_batched(model, entries, at_time_res, max_batch: int):
-    """Batched TL-TR tagging over decoded windows (possibly many recordings).
+    """Batched TL-TR tagging over decoded windows: dispatch + commit."""
+    _stitch_tags_dispatch(model, entries, at_time_res, max_batch)()
+
+
+def _stitch_tags_dispatch(model, entries, at_time_res, max_batch: int):
+    """Dispatch the batched TL-TR tagging passes; return a commit callback.
 
     entries: one (grid, seek, at_feat [L, 75, D]) per window. Windows group
     by their pooled-frame grid offset (a window whose seek lands mid-cell
-    drops the pooled frames before the next boundary), stack max_batch at a
-    time through one at_forward call, and stitch their cell logits into
-    their recording's TagGrid.
+    drops the pooled frames before the next boundary) and stack max_batch
+    at a time through one at_forward call. The at_forward dispatches are
+    asynchronous — the caller runs host-side segment assembly while the
+    tagging passes execute on device, then calls the returned commit() to
+    force the logits and stitch them into each recording's TagGrid.
     """
     groups = {}
     for i, (grid, seek, _) in enumerate(entries):
         groups.setdefault(grid.offset_in_window(seek), []).append(i)
+    pending = []
     for offset, idxs in groups.items():
         for lo in range(0, len(idxs), max_batch):
             chunk = idxs[lo:lo + max_batch]
             feats = jnp.stack([entries[i][2] for i in chunk])
-            tags = np.asarray(
-                model.at_forward(feats[:, :, offset:, :], at_time_res)
+            pending.append(
+                (chunk, model.at_forward(feats[:, :, offset:, :], at_time_res))
             )
+
+    def commit():
+        for chunk, dev_tags in pending:
+            tags = np.asarray(dev_tags)
             for row, i in enumerate(chunk):
                 grid, seek, _ = entries[i]
                 grid.write(seek, tags[row])
+
+    return commit
 
 
 def _assemble_windows(model, results, windows, content_frames, tokenizer,
@@ -562,15 +578,16 @@ def transcribe_many(
             files[i]["tokenizer"] = tokenizer
             pos += n
 
-    # one batched tag pass over every window of every file
+    # one batched tag pass over every window of every file, dispatched
+    # before the host-side assembly loop so the device work overlaps it
     entries = []
     for i, f in enumerate(files):
         f["grid"] = TagGrid(f["content"], at_time_res)
         for w, r in enumerate(results_per_file[i]):
             entries.append((f["grid"], w * N_FRAMES, r.audio_features_for_at))
-    _stitch_tags_batched(model, entries, at_time_res, max_batch)
+    commit_tags = _stitch_tags_dispatch(model, entries, at_time_res, max_batch)
 
-    out = []
+    assembled = []
     for i, f in enumerate(files):
         toks, segs = _assemble_windows(
             model, results_per_file[i], f["windows"], f["content"],
@@ -578,14 +595,18 @@ def transcribe_many(
             word_timestamps, prepend_punctuations, append_punctuations,
             verbose,
         )
-        out.append(dict(
+        assembled.append((toks, segs))
+    commit_tags()  # grids must be written before audio_tag is read
+    return [
+        dict(
             text=f["tokenizer"].decode(toks),
             segments=segs,
             language=f["language"],
             at_time_res=at_time_res,
             audio_tag=f["grid"].logits,
-        ))
-    return out
+        )
+        for f, (toks, segs) in zip(files, assembled)
+    ]
 
 
 def _decode_windows_batched(model, windows, temperature, gate: QualityGate,
