@@ -149,6 +149,14 @@ def main():
         "int4kv+int8rest": dict(weight_quant=True, kv_quant=True,
                                 self_kv_quant=True, kv_layout="heads",
                                 kv_bits=4),
+        # fused pallas-kernel layouts (interpret mode off-TPU): the int8
+        # row checks the block-diagonal kernel path, the int4 row the
+        # Ta-halves nibble packing + in-kernel unpack (ops/cross_decode.py)
+        "cross-int8-fused": dict(weight_quant=False, kv_quant=True,
+                                 self_kv_quant=False, kv_layout="fused"),
+        "cross-int4-fused": dict(weight_quant=False, kv_quant=True,
+                                 self_kv_quant=False, kv_layout="fused",
+                                 kv_bits=4),
     }
 
     def softmax(x):
