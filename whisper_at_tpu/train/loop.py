@@ -275,6 +275,24 @@ def train(
         end_time = time.time()
         n_batches = len(train_loader)
 
+        # one-step-delayed loss materialization: step i's loss is only
+        # float()ed after step i+1 has been DISPATCHED, so the host never
+        # blocks on the in-flight step (the reference's pin_memory /
+        # non_blocking H2D overlap, applied to the output side — on a
+        # tunneled device each forced sync costs a full RTT). Device
+        # execution is in-order, so the committed loss is already done by
+        # the time the next step is dispatched; meters lag one step.
+        pending = None
+
+        def _commit(p):
+            loss_v = float(p[0])
+            b_, data_t_, dnn_start_, iter_start_ = p[1:]
+            now = time.time()
+            loss_meter.update(loss_v, b_)
+            per_sample_data_time.update(data_t_ / b_)
+            per_sample_dnn_time.update((now - dnn_start_) / b_)
+            per_sample_time.update((now - iter_start_) / b_)
+
         for i, (feats, labels) in enumerate(train_loader):
             data_t = time.time() - end_time
             dnn_start = time.time()
@@ -282,13 +300,10 @@ def train(
                 params, opt_state, _prepare(feats), _prepare(labels),
                 jnp.float32(scheduler.scale),
             )
-            loss = float(loss)
             b = feats.shape[0]
-
-            loss_meter.update(loss, b)
-            per_sample_data_time.update(data_t / b)
-            per_sample_dnn_time.update((time.time() - dnn_start) / b)
-            per_sample_time.update((time.time() - end_time) / b)
+            if pending is not None:
+                _commit(pending)
+            pending = (loss, b, data_t, dnn_start, end_time)
 
             if global_step % n_print_steps == 0 and global_step != 0:
                 print(
@@ -313,6 +328,9 @@ def train(
             # as-full: 10% of iterations per epoch (traintest.py:136-139)
             if dataset == "as-full" and i > 0.1 * n_batches:
                 break
+
+        if pending is not None:
+            _commit(pending)
 
         print("start validation")
         stats, valid_loss = validate(eval_step, params, val_loader, loss_fn)
