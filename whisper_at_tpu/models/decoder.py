@@ -271,56 +271,72 @@ def precompute_cross_kv(
 
     def body(_, block_params):
         ca = block_params["cross_attn"]
+        if quantize and layout == "fused":
+            # quantize in the projections' natural [B, Ta, D] layout: the
+            # per-position scale groups over Dh are the same 64 values
+            # either way (max is order-independent, so the int8 tensors are
+            # bitwise identical to the head-layout quantization), but V's
+            # fused layout [B, Ta, H*Dh] falls out with NO transpose and K
+            # transposes int8 instead of bf16 — a third of the precompute
+            # pass's HBM traffic
+            k_raw = linear(ca["key"], xa)    # [B, Ta, D]
+            v_raw = linear(ca["value"], xa)  # [B, Ta, D]
+            b, ta, d = k_raw.shape
+            dh = d // n_head
+            ta_pad = pad_ta(ta)
+            pad = ta_pad - ta
+            kq = _quantize_sym(
+                k_raw.reshape(b, ta, n_head, dh), axis=-1, bits=bits
+            )
+            vq = _quantize_sym(
+                v_raw.reshape(b, ta, n_head, dh), axis=-1, bits=bits
+            )
+            kf = jnp.pad(
+                kq["q"].reshape(b, ta, d).transpose(0, 2, 1),
+                ((0, 0), (0, 0), (0, pad)),
+            )
+            ks = jnp.pad(
+                kq["s"][..., 0].transpose(0, 2, 1), ((0, 0), (0, 0), (0, pad))
+            )
+            vf = jnp.pad(
+                vq["q"].reshape(b, ta, d), ((0, 0), (0, pad), (0, 0))
+            )
+            vs = jnp.pad(
+                vq["s"][..., 0].transpose(0, 2, 1), ((0, 0), (0, 0), (0, pad))
+            )
+            mask = jnp.concatenate(
+                [jnp.zeros((1, ta), jnp.float32),
+                 jnp.full((1, pad), -1e30, jnp.float32)], axis=1,
+            )
+            if bits == 4:
+                # Ta-halves nibble packing: byte j holds position j in
+                # the low nibble and position ta_pad/2 + j in the high
+                # nibble, so the consumer's unpack is two shifts and a
+                # concat along Ta — NO lane interleave (softmax order is
+                # irrelevant as long as scales/bias/V share it, and the
+                # halves concat preserves natural order outright).
+                half = ta_pad // 2
+                kp = jax.lax.bitcast_convert_type(
+                    jnp.stack([kf[..., :half], kf[..., half:]], axis=-1),
+                    jnp.int8,
+                )
+                vp = jax.lax.bitcast_convert_type(
+                    jnp.stack([vf[:, :half], vf[:, half:]], axis=-1),
+                    jnp.int8,
+                )
+                return None, (
+                    {"q4": kp, "s": ks, "m": mask},
+                    {"q4": vp, "s": vs},
+                )
+            return None, (
+                {"q": kf, "s": ks, "m": mask},
+                {"q": vf, "s": vs},
+            )
         k = _split_kt(linear(ca["key"], xa), n_head)  # [B, H, Dh, Ta]
         v = _split_v(linear(ca["value"], xa), n_head)  # [B, H, Ta, Dh]
         if quantize:
             kq = _quantize_sym(k, axis=-2, bits=bits)
             vq = _quantize_sym(v, axis=-1, bits=bits)
-            if layout == "fused":
-                b, h, dh, ta = k.shape
-                ta_pad = pad_ta(ta)
-                pad = ta_pad - ta
-                kf = jnp.pad(
-                    kq["q"].reshape(b, h * dh, ta), ((0, 0), (0, 0), (0, pad))
-                )
-                ks = jnp.pad(
-                    kq["s"][:, :, 0, :], ((0, 0), (0, 0), (0, pad))
-                )
-                vf = jnp.pad(
-                    vq["q"].transpose(0, 2, 1, 3).reshape(b, ta, h * dh),
-                    ((0, 0), (0, pad), (0, 0)),
-                )
-                vs = jnp.pad(
-                    vq["s"][..., 0], ((0, 0), (0, 0), (0, pad))
-                )
-                mask = jnp.concatenate(
-                    [jnp.zeros((1, ta), jnp.float32),
-                     jnp.full((1, pad), -1e30, jnp.float32)], axis=1,
-                )
-                if bits == 4:
-                    # Ta-halves nibble packing: byte j holds position j in
-                    # the low nibble and position ta_pad/2 + j in the high
-                    # nibble, so the consumer's unpack is two shifts and a
-                    # concat along Ta — NO lane interleave (softmax order is
-                    # irrelevant as long as scales/bias/V share it, and the
-                    # halves concat preserves natural order outright).
-                    half = ta_pad // 2
-                    kp = jax.lax.bitcast_convert_type(
-                        jnp.stack([kf[..., :half], kf[..., half:]], axis=-1),
-                        jnp.int8,
-                    )
-                    vp = jax.lax.bitcast_convert_type(
-                        jnp.stack([vf[:, :half], vf[:, half:]], axis=-1),
-                        jnp.int8,
-                    )
-                    return None, (
-                        {"q4": kp, "s": ks, "m": mask},
-                        {"q4": vp, "s": vs},
-                    )
-                return None, (
-                    {"q": kf, "s": ks, "m": mask},
-                    {"q": vf, "s": vs},
-                )
             if bits == 4:
                 # travel packed-int8 across the jit boundary (see _pack4);
                 # K packs along Ta, V along Dh — both even
