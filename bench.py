@@ -518,6 +518,19 @@ def orchestrate(args):
                             timeout=min(480, remaining - 30))
         sweep["serving"] = r if r is not None else {"error": err[-500:]}
         save()
+
+    # informational: the opt-in int4 cross-KV headline (Ta-halves nibble
+    # packing through the fused kernel — kv_bits=4), so the measured int4
+    # delta is auditable from the driver's artifact
+    remaining = deadline - time.time()
+    if remaining >= 180 and args.kv_bits == 8:
+        r, err = run_worker(
+            ["--size", args.size, "--tokens", str(args.tokens), "--iters",
+             str(args.iters), "--batch", str(args.batch), "--kv-bits", "4"],
+            timeout=min(900, remaining - 30))
+        sweep["headline-int4-optin"] = (r if r is not None
+                                        else {"error": err[-500:]})
+        save()
     return 0
 
 
