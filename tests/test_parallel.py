@@ -193,6 +193,22 @@ def test_tensor_parallel_decode_matches_single_device(devices_ok):
     assert tuple(qkv.sharding.spec) == (None, None, "tp")
     out_w = tp_model.decoder_params_fused["blocks"]["attn"]["out"]["w"]
     assert tuple(out_w.sharding.spec) == (None, "tp", None)
+    # encoder blocks get the same Megatron split (col qkv/fc1, row out/fc2);
+    # the conv stem replicates — and the sharded encoder must be numerically
+    # identical to the single-device one (GSPMD psums, not approximations)
+    enc = tp_model.params["encoder"]
+    assert tuple(enc["blocks"]["attn"]["query"]["w"].sharding.spec) == \
+        (None, None, "tp")
+    assert tuple(enc["blocks"]["mlp"]["fc2"]["w"].sharding.spec) == \
+        (None, "tp", None)
+    assert tuple(enc["conv1"]["w"].sharding.spec) == (None, None, None) or \
+        enc["conv1"]["w"].sharding.is_fully_replicated
+    ref_feats, ref_at = ref_model.embed_audio(mel, fp16=False)
+    tp_feats, tp_at = tp_model.embed_audio(mel, fp16=False)
+    np.testing.assert_allclose(np.asarray(tp_feats), np.asarray(ref_feats),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(tp_at), np.asarray(ref_at),
+                               rtol=2e-5, atol=2e-5)
 
     got_g = decode(tp_model, mel[0], DecodingOptions(**base))
     assert got_g.tokens == ref_g.tokens

@@ -50,8 +50,8 @@ def auto_mesh_for_inference(n_devices: Optional[int] = None) -> Mesh:
 # tensor-parallel decoder placement (latency-oriented serving)
 # ---------------------------------------------------------------------- #
 
-def _decoder_leaf_spec(key_str: str, ndim: int) -> P:
-    """Megatron column/row PartitionSpec for one decoder param leaf.
+def _block_leaf_spec(key_str: str, ndim: int) -> P:
+    """Megatron column/row PartitionSpec for one transformer-block param leaf.
 
     Column-parallel (output dim over tp): self qkv (fused or split q/k/v),
     cross q/k/v, MLP fc1 — their per-output-channel int8 scales (w_s) and
@@ -74,30 +74,42 @@ def _decoder_leaf_spec(key_str: str, ndim: int) -> P:
 
 
 def place_model_tp(model, mesh: Mesh):
-    """Tensor-parallel placement of the DECODER over the mesh's 'tp' axis.
+    """Tensor-parallel placement of the model over the mesh's 'tp' axis
+    (latency-oriented serving: one request, many chips).
 
     The decode loop streams ~1.7 GB of weights + KV per token (large-v1,
     int8): sharding it tp-ways divides the per-chip bytes and hence the
     per-token latency — the reference (single-GPU torch) has no analogue.
-    The encoder and TL-TR head stay replicated (they are compute-bound and
-    batch-parallel; shard their inputs over 'dp' instead).
+    The ENCODER blocks carry the FLOPs (SURVEY §6: the encoder is the
+    reference's compute core) and use the same attention/MLP param names,
+    so the identical Megatron column/row split applies: qkv column, out
+    row, fc1 column, fc2 row, one psum per projection pair. The conv stem,
+    positional embedding, LNs and the TL-TR head replicate (tiny).
 
     GSPMD derives everything downstream from these placements: the KV
     caches and cross-KV shard along the head axis, each attention runs on
     its local heads, and one psum per out/fc2 projection restores the
-    replicated residual stream. Requires tp | n_text_head. The pallas
-    decode kernel is single-device, so decoding selects the XLA 'heads'
-    cross-KV layout when tp > 1 (decoding.py).
+    replicated residual stream. Requires tp | n_text_head and
+    tp | n_audio_head. The pallas decode/encoder kernels are
+    single-device, so decoding selects the XLA 'heads' cross-KV layout
+    and the encoder uses the XLA path when a mesh is set (decoding.py,
+    encoder.py).
     """
     tp = mesh.shape.get("tp", 1)
     assert model.dims.n_text_head % tp == 0, (
         f"n_text_head={model.dims.n_text_head} not divisible by tp={tp}"
     )
+    assert model.dims.n_audio_head % tp == 0, (
+        f"n_audio_head={model.dims.n_audio_head} not divisible by tp={tp}"
+    )
     repl = NamedSharding(mesh, P())
     model.params = {
         k: jax.tree.map(lambda x: jax.device_put(x, repl), v)
-        for k, v in model.params.items() if k != "decoder"
-    } | {"decoder": _place_tree_tp(model.params["decoder"], mesh)}
+        for k, v in model.params.items() if k not in ("decoder", "encoder")
+    } | {
+        "decoder": _place_tree_tp(model.params["decoder"], mesh),
+        "encoder": _place_tree_tp(model.params["encoder"], mesh),
+    }
     # rebuild the fused/quantized decode params from the sharded tree and
     # re-place them (fusion concatenates [q|k|v] along the sharded dim,
     # which GSPMD would otherwise resolve with gathers at trace time)
@@ -118,7 +130,7 @@ def _place_tree_tp(tree, mesh: Mesh):
             leaf,
             NamedSharding(
                 mesh,
-                _decoder_leaf_spec(jax.tree_util.keystr(path), leaf.ndim),
+                _block_leaf_spec(jax.tree_util.keystr(path), leaf.ndim),
             ),
         )
         for path, leaf in flat
