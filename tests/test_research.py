@@ -80,6 +80,82 @@ def test_write_wav_roundtrip(tmp_path):
 
 
 # --------------------------------------------------------------------------- #
+# SSL baselines (offline random-weight execution of the HF runners)
+# --------------------------------------------------------------------------- #
+
+
+def test_ctc_baseline_noise_experiment_end_to_end(tmp_path):
+    """Drives the full noise-robustness baseline loop the reference runs
+    with released wav2vec2 weights (transcribe_wav2vec.py + compute_wer.py):
+    mix speech+noise at two SNRs -> greedy CTC transcribe -> per-SNR WER.
+    Random weights (no egress), so WER is meaningless — the point is that
+    every stage of the runner executes."""
+    from whisper_at_tpu.research.baselines import build_local_ctc, transcribe_ctc
+    from whisper_at_tpu.research.noisy_speech import generate_noisy_set
+    from whisper_at_tpu.research.wer import eval_noise_wer
+
+    rng = np.random.default_rng(0)
+    speech_dir, noise_dir = tmp_path / "speech", tmp_path / "noise"
+    truth_dir = tmp_path / "truth"
+    for d in (speech_dir, noise_dir, truth_dir):
+        os.makedirs(d)
+    for utt in ("0001", "0002"):
+        write_wav(str(speech_dir / f"{utt}.wav"),
+                  rng.standard_normal(8000).astype(np.float32) * 0.1)
+        (truth_dir / f"{utt}.txt").write_text("HELLO WORLD")
+    write_wav(str(noise_dir / "dog.wav"),
+              rng.standard_normal(4000).astype(np.float32) * 0.1)
+
+    mixed = generate_noisy_set(
+        [str(speech_dir / "0001.wav"), str(speech_dir / "0002.wav")],
+        {0: [str(noise_dir / "dog.wav")]},
+        str(tmp_path / "mix"), snr_levels=(0, 10), n_utterances=2,
+    )
+    assert len(mixed) == 4
+
+    pm = build_local_ctc()
+    text_dir = str(tmp_path / "texts")
+    outputs = transcribe_ctc("wav2vec2-base", mixed, text_dir,
+                             processor_model=pm)
+    assert len(outputs) == 4
+    for p in outputs:
+        text = open(p).read()
+        for tok in ("<s>", "</s>", "<unk>"):  # random weights emit specials
+            text = text.replace(tok, "")
+        assert set(text) <= set("ABCDEFGHIJKLMNOPQRSTUVWXYZ' ")
+    # resume-by-skip: a second run transcribes nothing
+    assert transcribe_ctc("wav2vec2-base", mixed, text_dir,
+                          processor_model=pm) == []
+
+    wer = eval_noise_wer(text_dir, str(truth_dir),
+                         str(tmp_path / "wer.csv"), snr_levels=(0, 10))
+    assert set(wer) == {0, 10} and all(v >= 0 for v in wer.values())
+
+
+def test_ssl_feature_extraction_offline():
+    """extract_ssl_features on a locally-built wav2vec2 encoder: all-layer
+    taps [L+1, T, D], optional time pooling — the SSL analogue of the
+    Whisper all-layer taps (intermediate_feat_extract/{w2v,hubert})."""
+    from whisper_at_tpu.research.baselines import (
+        build_local_ssl,
+        extract_ssl_features,
+    )
+
+    rng = np.random.default_rng(1)
+    audio = rng.standard_normal(16000).astype(np.float32) * 0.1
+    pm = build_local_ssl()
+    taps = extract_ssl_features("wav2vec2-base", audio,
+                                pool=None, processor_model=pm)
+    assert taps.ndim == 3 and taps.shape[0] == 3 and taps.shape[2] == 32
+    pooled = extract_ssl_features("wav2vec2-base", audio,
+                                  pool=4, processor_model=pm)
+    assert pooled.shape == (3, taps.shape[1] // 4, 32)
+    np.testing.assert_allclose(
+        pooled[0, 0], taps[0, :4].mean(axis=0), rtol=1e-5, atol=1e-6
+    )
+
+
+# --------------------------------------------------------------------------- #
 # feature extraction
 # --------------------------------------------------------------------------- #
 
