@@ -210,4 +210,10 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
+    # honor an explicit JAX_PLATFORMS request even under TPU plugins that
+    # override the env var: a jax.config pin before backend init always wins
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     main()
