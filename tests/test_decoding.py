@@ -460,3 +460,32 @@ def test_fused_int4_decode_loop_tokens(model, mel):
         assert rh.tokens == rf.tokens
         np.testing.assert_allclose(rh.avg_logprob, rf.avg_logprob,
                                    rtol=1e-3, atol=1e-3)
+
+
+def test_gather_beam_cache_matches_full_take():
+    """The bucketed beam-cache gather must equal the full jnp.take for every
+    live count, for both raw and int8-quantized cache layouts (the skipped
+    tail is all-zero by the cache write invariant)."""
+    from whisper_at_tpu.decoding import _gather_beam_cache
+
+    rng = np.random.default_rng(0)
+    L, B, H, total, Dh = 2, 6, 2, 64, 4
+    flat_src = jnp.asarray(rng.integers(0, B, size=B), jnp.int32)
+    for live in (1, 15, 16, 17, 31, 32, 33, 63, 64):
+        raw = rng.standard_normal((L, B, H, total, Dh)).astype(np.float32)
+        raw[:, :, :, live:, :] = 0.0  # the invariant: tail slots unwritten
+        x = jnp.asarray(raw)
+        want = jnp.take(x, flat_src, axis=1)
+        got = _gather_beam_cache(x, flat_src, jnp.int32(live), total)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+        q = (raw * 10).astype(np.int8)
+        s = rng.standard_normal((L, B, total, H)).astype(np.float32)
+        s[:, :, live:, :] = 0.0
+        cache = {"q": jnp.asarray(q), "s": jnp.asarray(s)}
+        got = _gather_beam_cache(cache, flat_src, jnp.int32(live), total)
+        for k in ("q", "s"):
+            np.testing.assert_array_equal(
+                np.asarray(got[k]),
+                np.asarray(jnp.take(cache[k], flat_src, axis=1)),
+            )

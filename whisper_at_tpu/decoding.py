@@ -334,6 +334,42 @@ def greedy_sample_loop(
     return buf, sum_lp, no_speech_probs, t
 
 
+def _gather_beam_cache(cache, flat_src, live, total):
+    """Reorder the self-KV cache along the beam axis, moving only a static
+    bucket covering the live slot prefix.
+
+    The full-cache `jnp.take` is the beam step's second-largest byte stream
+    (read+write of every slot, every layer, every step), but slots >= live
+    are identically zero in EVERY row — prefill writes [0, prefill) and each
+    step writes exactly one slot — so permuting them is the identity.
+    Gathering the smallest static bucket >= live (total/4, total/2, total)
+    is exact and moves ~half the bytes on average. Token parity with the
+    full gather is pinned by the beam-vs-oracle tests.
+    """
+    def take_prefix(w):
+        def f(x):
+            ctx_ax = x.ndim - 2  # values [L,B,H,ctx,Dh]; scales [L,B,ctx,H]
+            if w >= x.shape[ctx_ax]:
+                return jnp.take(x, flat_src, axis=1)
+            head = jax.lax.slice_in_dim(x, 0, w, axis=ctx_ax)
+            head = jnp.take(head, flat_src, axis=1)
+            return jax.lax.dynamic_update_slice_in_dim(
+                x, head, 0, axis=ctx_ax
+            )
+        return lambda: jax.tree.map(f, cache)
+
+    w1, w2 = total // 4, total // 2
+    if w1 < 8:  # tiny caches: bucketing is all overhead
+        return jax.tree.map(lambda x: jnp.take(x, flat_src, axis=1), cache)
+    return jax.lax.cond(
+        live <= w1,
+        take_prefix(w1),
+        lambda: jax.lax.cond(
+            live <= w2, take_prefix(w2), take_prefix(total)
+        ),
+    )
+
+
 # --------------------------------------------------------------------------- #
 # jitted beam search
 # --------------------------------------------------------------------------- #
@@ -514,8 +550,8 @@ def beam_sample_loop(
         last_ts = jnp.take(last_ts, flat_src, axis=0)
         ntok_flat = new_tok.reshape(-1)
         last_ts = jnp.where(ntok_flat >= ts_begin, ntok_flat, last_ts)
-        self_k = jax.tree.map(lambda x: jnp.take(x, flat_src, axis=1), self_k)
-        self_v = jax.tree.map(lambda x: jnp.take(x, flat_src, axis=1), self_v)
+        self_k = _gather_beam_cache(self_k, flat_src, slot, total)
+        self_v = _gather_beam_cache(self_v, flat_src, slot, total)
 
         hidden, self_k, self_v = decoder_forward(
             dec_params, ntok_flat[:, None], cross_k, cross_v, self_k, self_v,
