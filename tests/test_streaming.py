@@ -1,0 +1,150 @@
+"""Streaming transcription session tests (whisper_at_tpu/streaming.py)."""
+
+import numpy as np
+import pytest
+
+from whisper_at_tpu.audio import (
+    HOP_LENGTH,
+    N_FRAMES,
+    N_SAMPLES,
+    log_mel_spectrogram,
+    pad_or_trim,
+)
+from whisper_at_tpu.models.dims import ModelDimensions
+from whisper_at_tpu.models.whisper import Whisper
+from whisper_at_tpu.streaming import StreamingTranscriber
+
+DIMS = ModelDimensions(
+    n_mels=80, n_audio_ctx=1500, n_audio_state=64, n_audio_head=4,
+    n_audio_layer=2, n_vocab=51865, n_text_ctx=448, n_text_head=4,
+    n_text_state=64, n_text_layer=2,
+)
+
+OPTS = dict(
+    verbose=None,
+    temperature=0.0,
+    language="en",
+    fp16=False,
+    logprob_threshold=None,
+    compression_ratio_threshold=None,
+    no_speech_threshold=None,
+)
+
+
+@pytest.fixture(scope="module")
+def model():
+    return Whisper(DIMS, seed=5)
+
+
+def _clicky_audio(seconds: float, seed: int = 1) -> np.ndarray:
+    """Tone+noise with one full-scale click per 30 s window, so every
+    window's log-mel max equals the recording's global max and the causal
+    dynamic-range floor threshold is identical to the offline one. A low-
+    frequency component keeps every mel bin well above the -8-decade floor:
+    frames AT the floor are clamp-or-not by last-bit rounding, the one
+    place where block layout legitimately shows (documented in
+    streaming.py's module docstring)."""
+    rng = np.random.default_rng(seed)
+    n = int(16000 * seconds)
+    t = np.arange(n) / 16000.0
+    x = (0.3 * np.sin(2 * np.pi * 330 * t)
+         + 0.08 * np.sin(2 * np.pi * 45 * t)
+         + 0.02 * rng.standard_normal(n))
+    for s in range(0, n, 30 * 16000):
+        click = s + 16000
+        # silence around the click so every STFT frame touching it sees
+        # the identical sample pattern: window max == global max BITWISE,
+        # making the causal floor exactly the offline one
+        x[click - 600:click + 632] = 0.0
+        x[click:click + 32] = 1.0
+    return x.astype(np.float32)
+
+
+def test_window_mel_matches_offline(model):
+    """Every streamed window's interior frames must be bit-comparable to the
+    offline full-file mel (same samples, same formula, same floor)."""
+    audio = _clicky_audio(70)
+    sess = StreamingTranscriber(model, **OPTS)
+    sess._buf = audio
+    sess._total_samples = len(audio)
+
+    offline = np.asarray(log_mel_spectrogram(audio, padding=N_SAMPLES))
+    for seek in (0, 1, 2, 500, 3000):
+        sess._seek = seek
+        got = np.asarray(sess._window_mel())
+        want = offline[:, seek:seek + N_FRAMES]
+        np.testing.assert_allclose(got, want, rtol=0, atol=2e-5)
+
+
+def test_streaming_matches_offline_transcribe(model):
+    audio = _clicky_audio(70)
+    offline = model.transcribe(audio, **OPTS)
+
+    sess = StreamingTranscriber(model, **OPTS)
+    emitted = []
+    rng = np.random.default_rng(0)
+    i = 0
+    while i < len(audio):
+        n = int(rng.integers(5000, 120000))  # ragged block sizes
+        emitted.extend(sess.feed(audio[i:i + n]))
+        i += n
+    result = sess.finish()
+
+    assert result["language"] == offline["language"]
+    assert result["text"] == offline["text"]
+    assert len(result["segments"]) == len(offline["segments"])
+    for got, want in zip(result["segments"], offline["segments"]):
+        assert (got["start"], got["end"]) == (want["start"], want["end"])
+        assert got["tokens"] == want["tokens"]
+        assert got["id"] == want["id"]
+    np.testing.assert_allclose(
+        result["audio_tag"], offline["audio_tag"], rtol=0, atol=2e-6
+    )
+    # everything emitted during feed() is a prefix of the final segments
+    assert emitted == result["segments"][: len(emitted)]
+
+
+def test_streaming_emits_before_finish(model):
+    audio = _clicky_audio(66)
+    sess = StreamingTranscriber(model, **OPTS)
+    step = 5 * 16000
+    seen_early = 0
+    for i in range(0, len(audio), step):
+        segs = sess.feed(audio[i:i + step])
+        if i + step < len(audio):
+            seen_early += len(segs)
+    result = sess.finish()
+    assert seen_early > 0, "no segments finalized before finish()"
+    assert len(result["segments"]) >= seen_early
+    ids = [s["id"] for s in result["segments"]]
+    assert ids == list(range(len(ids)))
+
+
+def test_streaming_empty_and_tiny_streams(model):
+    empty = StreamingTranscriber(model, **OPTS).finish()
+    assert empty["text"] == "" and empty["segments"] == []
+    assert empty["audio_tag"].shape == (1, 527)
+    assert empty["language"] == "en"
+
+    short = StreamingTranscriber(model, **OPTS)
+    assert short.feed(np.zeros(100, np.float32)) == []
+    out = short.finish()
+    assert out["audio_tag"].shape == (1, 527)
+
+
+def test_streaming_rejects_word_timestamps(model):
+    with pytest.raises(ValueError):
+        StreamingTranscriber(model, word_timestamps=True)
+
+
+def test_streaming_int16_feed_matches_float(model):
+    audio = _clicky_audio(35, seed=3)
+    pcm = (np.clip(audio, -1, 1) * 32767.0).astype(np.int16)
+    f = StreamingTranscriber(model, **OPTS)
+    f.feed(pcm.astype(np.float32) / 32768.0)
+    a = f.finish()
+    g = StreamingTranscriber(model, **OPTS)
+    g.feed(pcm)
+    b = g.finish()
+    assert a["text"] == b["text"]
+    np.testing.assert_array_equal(a["audio_tag"], b["audio_tag"])

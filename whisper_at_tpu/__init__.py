@@ -17,6 +17,7 @@ from .audio import load_audio, log_mel_spectrogram, pad_or_trim
 from .decoding import DecodingOptions, DecodingResult, decode, detect_language
 from .models.dims import ModelDimensions, dims_for
 from .models.whisper import Whisper, build_model
+from .streaming import StreamingTranscriber
 from .transcribe import transcribe, transcribe_batched, transcribe_many
 from .at_post_processing import parse_at_label, print_label_name, print_support_language
 from .registry import _ALIGNMENT_HEADS, _MODELS, _MODELS_AT

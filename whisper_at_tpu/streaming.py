@@ -1,0 +1,295 @@
+"""Streaming transcription: incremental audio in, finalized segments out.
+
+The reference has no streaming surface — its only live input is the Gradio
+demo's record-then-transcribe flow (reference app.py:9-58). This session
+object is the TPU-serving-native extension: a caller feeds arbitrary-size
+waveform pieces as they arrive (a mic callback, a network stream) and
+receives segments the moment the engine finalizes a 30 s window, with the
+same seek-loop semantics as `transcribe` (quality-gated temperature ladder,
+timestamp-token seek advance, prompt threading, TL-TR tag stitching).
+
+Window mels are computed causally from the sample buffer with a two-frame
+alignment margin, so every interior STFT frame is bit-identical to the
+offline full-file mel. The one inherent difference from offline
+`transcribe` is the dynamic-range floor of the log-mel (reference
+audio.py:153: `max(log_spec, log_spec.max() - 8)`): offline the max is
+global over the whole recording, while a causal engine can only know the
+max of the window it is processing. Windows whose loudest frame reaches
+within 8 decades of the recording's maximum produce bit-identical mels
+(for typical speech this is every voiced window).
+"""
+
+import math
+from typing import List, Optional, Tuple, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from .audio import (
+    HOP_LENGTH,
+    N_FFT,
+    N_FRAMES,
+    N_SAMPLES,
+    SAMPLE_RATE,
+)
+from .ops.mel import log_mel_spectrogram_jax
+from .segmentation import (
+    N_TAG_CLASSES,
+    QualityGate,
+    TagGrid,
+    clear_degenerate,
+    parse_window,
+    segment_record,
+)
+from .tokenizer import get_tokenizer
+from .transcribe import _geometry, _resolve_language, _run_ladder, _tag_window
+
+# alignment margin: 2 whole hops (>= the 200-sample STFT half-window, and a
+# multiple of HOP_LENGTH so sliced frames stay on the recording's frame grid)
+_MARGIN_FRAMES = 2
+_MARGIN = _MARGIN_FRAMES * HOP_LENGTH  # 320 samples
+assert _MARGIN >= N_FFT // 2
+
+
+class _GrowingTagGrid(TagGrid):
+    """TagGrid over a recording whose length is not known yet."""
+
+    def __init__(self, at_time_res: float):
+        super().__init__(content_frames=1, at_time_res=at_time_res)
+
+    def write(self, seek: int, tags: np.ndarray) -> None:
+        need = math.floor(seek / self.window) + tags.shape[0]
+        if need > self.logits.shape[0]:
+            grow = np.zeros((need - self.logits.shape[0], N_TAG_CLASSES),
+                            np.float32)
+            self.logits = np.concatenate([self.logits, grow], axis=0)
+        super().write(seek, tags)
+
+    def finalize(self, content_frames: int) -> np.ndarray:
+        n = max(1, math.ceil(content_frames / self.window))
+        if n > self.logits.shape[0]:
+            grow = np.zeros((n - self.logits.shape[0], N_TAG_CLASSES),
+                            np.float32)
+            self.logits = np.concatenate([self.logits, grow], axis=0)
+        return self.logits[:n]
+
+
+class StreamingTranscriber:
+    """Incremental transcribe+tag session over a live 16 kHz mono stream.
+
+    >>> sess = StreamingTranscriber(model, language="en")
+    >>> for block in microphone_blocks():        # any block sizes
+    ...     for seg in sess.feed(block):         # finalized segments
+    ...         print(seg["start"], seg["text"])
+    >>> result = sess.finish()                   # same dict as transcribe()
+
+    feed() processes every complete 30 s window the buffer covers and
+    returns the segments it finalized (possibly []); finish() flushes the
+    remaining tail (padded with silence, exactly like the offline seek
+    loop's final window) and returns the full transcribe()-shaped result.
+
+    Word timestamps are not supported in streaming sessions (the offline
+    path's seek refinement may re-read frames a stream has discarded).
+    """
+
+    def __init__(
+        self,
+        model,
+        *,
+        verbose: Optional[bool] = None,
+        temperature: Union[float, Tuple[float, ...]] = (
+            0.0, 0.2, 0.4, 0.6, 0.8, 1.0
+        ),
+        compression_ratio_threshold: Optional[float] = 2.4,
+        logprob_threshold: Optional[float] = -1.0,
+        no_speech_threshold: Optional[float] = 0.6,
+        condition_on_previous_text: bool = True,
+        initial_prompt: Optional[str] = None,
+        at_time_res: float = 10,
+        **decode_options,
+    ):
+        if decode_options.pop("word_timestamps", False):
+            raise ValueError(
+                "word_timestamps is not supported in streaming sessions; "
+                "use transcribe() on the recorded audio instead"
+            )
+        self.model = model
+        self.verbose = verbose
+        self.temperature = temperature
+        self.at_time_res = at_time_res
+        self.condition_on_previous_text = condition_on_previous_text
+        self.decode_options = dict(decode_options)
+        self.gate = QualityGate(compression_ratio_threshold,
+                                logprob_threshold, no_speech_threshold)
+        self.grid = _GrowingTagGrid(at_time_res)
+
+        self._tokenizer = None
+        self._language = decode_options.get("language")
+        self._input_stride, self._time_precision = _geometry(model)
+
+        self._initial_prompt = initial_prompt
+        self._prompt_tokens: List[int] = []
+        self._thread: List[int] = []
+        self._thread_live_from = 0
+
+        self._buf = np.zeros((0,), np.float32)
+        self._buf_start = 0          # absolute sample index of _buf[0]
+        self._total_samples = 0      # absolute samples received
+        self._seek = 0               # absolute mel-frame seek
+        self.segments: List[dict] = []
+        self._finished = False
+
+    # ------------------------------------------------------------------ #
+    # public API
+    # ------------------------------------------------------------------ #
+
+    def feed(self, waveform: np.ndarray) -> List[dict]:
+        """Append a waveform piece; process every complete 30 s window."""
+        assert not self._finished, "session already finished"
+        chunk = np.asarray(waveform)
+        if chunk.dtype == np.int16:
+            chunk = chunk.astype(np.float32) / 32768.0
+        else:
+            chunk = chunk.astype(np.float32)
+        if chunk.ndim != 1:
+            raise ValueError("expected mono 16 kHz waveform, got "
+                             f"shape {chunk.shape}")
+        self._buf = np.concatenate([self._buf, chunk])
+        self._total_samples += len(chunk)
+
+        emitted: List[dict] = []
+        # a non-final window needs samples through the end of the last STFT
+        # frame it reads: (seek + N_FRAMES) * HOP + MARGIN
+        while (self._total_samples
+               >= (self._seek + N_FRAMES) * HOP_LENGTH + _MARGIN):
+            emitted.extend(self._process_window(final=False))
+        self._drop_consumed()
+        return emitted
+
+    def finish(self) -> dict:
+        """Flush the buffered tail and return the transcribe()-shaped dict."""
+        assert not self._finished, "session already finished"
+        self._finished = True
+        content_frames = self._total_samples // HOP_LENGTH
+        while self._seek < content_frames:
+            self.segments.extend(self._process_window(final=True))
+
+        if self._tokenizer is None:
+            # nothing was ever processed (empty / sub-window stream):
+            # resolve the language on the silent-padded window, exactly as
+            # the offline path detects on a padded first window
+            silent = log_mel_spectrogram_jax(
+                np.zeros((N_SAMPLES,), np.float32), padding=0
+            )[:, :N_FRAMES]
+            self._language = _resolve_language(
+                self.model, silent, self.decode_options, self.verbose
+            )
+            text = ""
+        else:
+            text = self._tokenizer.decode(
+                self._thread[len(self._prompt_tokens):]
+            )
+        return dict(
+            text=text,
+            segments=self.segments,
+            language=self._language,
+            at_time_res=self.at_time_res,
+            audio_tag=self.grid.finalize(content_frames),
+        )
+
+    # ------------------------------------------------------------------ #
+    # internals
+    # ------------------------------------------------------------------ #
+
+    def _window_mel(self) -> jnp.ndarray:
+        """[80, N_FRAMES] mel for the window at the current seek.
+
+        Sliced with a two-frame margin so every frame the decoder sees is
+        computed from true neighboring samples (bit-identical to the
+        offline full-file mel, modulo the causal dynamic-range floor); the
+        margin frames absorb the edge reflection and are discarded. The
+        final windows read past the received samples into zero padding,
+        exactly like transcribe()'s padding=N_SAMPLES.
+        """
+        s0 = self._seek * HOP_LENGTH
+        lead_frames = min(_MARGIN_FRAMES, self._seek)
+        start = s0 - lead_frames * HOP_LENGTH
+        end = s0 + N_FRAMES * HOP_LENGTH + _MARGIN
+        piece = self._buf[start - self._buf_start:end - self._buf_start]
+        if len(piece) < end - start:  # tail windows: silence padding
+            piece = np.concatenate([
+                piece, np.zeros(end - start - len(piece), np.float32)
+            ])
+        mel = log_mel_spectrogram_jax(piece, padding=0)
+        return mel[:, lead_frames:lead_frames + N_FRAMES]
+
+    def _process_window(self, final: bool) -> List[dict]:
+        window = self._window_mel()
+        content_frames = (self._total_samples // HOP_LENGTH if final
+                          else self._seek + N_FRAMES)
+        segment_size = min(N_FRAMES, content_frames - self._seek)
+        time_offset = float(self._seek * HOP_LENGTH / SAMPLE_RATE)
+
+        if self._tokenizer is None:
+            self._language = _resolve_language(
+                self.model, window, self.decode_options, self.verbose
+            )
+            self._tokenizer = get_tokenizer(
+                self.model.is_multilingual, language=self._language,
+                task=self.decode_options.get("task", "transcribe"),
+            )
+            if self._initial_prompt is not None:
+                self._prompt_tokens = self._tokenizer.encode(
+                    " " + self._initial_prompt.strip()
+                )
+                self._thread = list(self._prompt_tokens)
+
+        self.decode_options["prompt"] = self._thread[self._thread_live_from:]
+        result = _run_ladder(
+            lambda opts: self.model.decode(window, opts),
+            self.temperature, self.gate, self.decode_options,
+        )
+        _tag_window(self.model, self.grid, self._seek, result,
+                    self.at_time_res)
+
+        if self.gate.is_silence(result):
+            self._seek += segment_size
+            return []
+
+        window_start = self._seek
+        parse = parse_window(
+            np.asarray(result.tokens, np.int64),
+            timestamp_begin=self._tokenizer.timestamp_begin,
+            time_offset=time_offset,
+            segment_size=segment_size,
+            segment_duration=segment_size * HOP_LENGTH / SAMPLE_RATE,
+            input_stride=self._input_stride,
+            time_precision=self._time_precision,
+        )
+        self._seek += parse.advance_frames
+        new_segments = [
+            segment_record(
+                seek=window_start, start=start, end=end, tokens=toks,
+                result=result, eot=self._tokenizer.eot,
+                tokenizer=self._tokenizer,
+            )
+            for start, end, toks in parse.pieces
+        ]
+        clear_degenerate(new_segments)
+        base_id = (self.segments[-1]["id"] + 1) if self.segments else 0
+        for i, seg in enumerate(new_segments):
+            seg["id"] = base_id + i
+            self._thread.extend(seg["tokens"])
+        if not final:
+            self.segments.extend(new_segments)
+        if not self.condition_on_previous_text or result.temperature > 0.5:
+            self._thread_live_from = len(self._thread)
+        return new_segments
+
+    def _drop_consumed(self) -> None:
+        """Release buffer samples no window can read again."""
+        keep_from = max(self._buf_start,
+                        self._seek * HOP_LENGTH - _MARGIN)
+        if keep_from > self._buf_start:
+            self._buf = self._buf[keep_from - self._buf_start:]
+            self._buf_start = keep_from
