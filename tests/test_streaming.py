@@ -4,11 +4,9 @@ import numpy as np
 import pytest
 
 from whisper_at_tpu.audio import (
-    HOP_LENGTH,
     N_FRAMES,
     N_SAMPLES,
     log_mel_spectrogram,
-    pad_or_trim,
 )
 from whisper_at_tpu.models.dims import ModelDimensions
 from whisper_at_tpu.models.whisper import Whisper
@@ -148,3 +146,14 @@ def test_streaming_int16_feed_matches_float(model):
     b = g.finish()
     assert a["text"] == b["text"]
     np.testing.assert_array_equal(a["audio_tag"], b["audio_tag"])
+
+
+def test_streaming_state_and_dtype_guards(model):
+    sess = StreamingTranscriber(model, **OPTS)
+    with pytest.raises(ValueError):
+        sess.feed(np.zeros(100, np.int32))  # ambiguous PCM scale
+    sess.finish()
+    with pytest.raises(RuntimeError):
+        sess.feed(np.zeros(100, np.float32))
+    with pytest.raises(RuntimeError):
+        sess.finish()

@@ -12,10 +12,19 @@ import numpy as np
 
 from .tokenizer import LANGUAGES, TO_LANGUAGE_CODE
 from .transcribe import transcribe
-from .utils import get_writer, optional_float, optional_int, str2bool
+from .utils import (
+    get_writer,
+    honor_jax_platforms_env,
+    optional_float,
+    optional_int,
+    str2bool,
+)
 
 
 def cli(argv=None):
+    # effective for every entry path: python -m whisper_at_tpu AND the
+    # installed console script (setup.py: whisper_at_tpu.transcribe:cli)
+    honor_jax_platforms_env()
     from . import available_models, load_model
 
     # fmt: off

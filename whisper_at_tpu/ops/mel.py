@@ -133,11 +133,13 @@ class PrefetchedAudio:
         self.padding = padding
 
 
-def _stft_host_prep(audio, padding: int = 0):
+def _stft_host_prep(audio, padding: int = 0, exact: bool = False):
     """Host-side numpy prep shared by the sync and prefetch mel paths.
 
     int16 grid detection, zero padding, torch-center reflect padding, and
-    30 s-multiple bucket padding. Returns (sig [pad_to], n_frames).
+    30 s-multiple bucket padding (exact=True keeps the device shape at the
+    true frame count — for fixed-size callers like the streaming session,
+    where bucketing would double the work). Returns (sig [pad_to], n_frames).
     """
     audio = np.asarray(audio).reshape(-1)
     # lossless int16 transfer fast path: PCM-sourced waveforms (ffmpeg/WAV
@@ -169,7 +171,8 @@ def _stft_host_prep(audio, padding: int = 0):
     sig = np.concatenate([left, audio, right])
 
     # bucket the device-side length to multiples of 30 s to bound recompiles
-    bucket = max(1, -(-n_frames // N_FRAMES)) * N_FRAMES
+    bucket = (max(1, n_frames) if exact
+              else max(1, -(-n_frames // N_FRAMES)) * N_FRAMES)
     pad_to = (bucket + 2) * HOP_LENGTH
     if sig.shape[0] < pad_to:
         sig = np.concatenate([sig, np.zeros(pad_to - sig.shape[0], host_dtype)])
@@ -189,7 +192,8 @@ def prefetch_stft_input(audio, padding: int = 0) -> PrefetchedAudio:
     return PrefetchedAudio(jax.device_put(sig), n_frames, padding)
 
 
-def log_mel_spectrogram_jax(audio, padding: int = 0) -> jax.Array:
+def log_mel_spectrogram_jax(audio, padding: int = 0,
+                            exact: bool = False) -> jax.Array:
     """Compute the log-mel spectrogram of a 16 kHz waveform on device.
 
     Matches the reference formula chain (whisper_at/audio.py:110-157) at fp32:
@@ -212,9 +216,11 @@ def log_mel_spectrogram_jax(audio, padding: int = 0) -> jax.Array:
             )
         sig, n_frames = audio.sig, audio.n_frames
     else:
-        sig_np, n_frames = _stft_host_prep(audio, padding)
+        sig_np, n_frames = _stft_host_prep(audio, padding, exact=exact)
         sig = jnp.asarray(sig_np)
-    bucket = max(1, -(-n_frames // N_FRAMES)) * N_FRAMES
+    # infer the padded frame count from the prepared signal itself, so the
+    # exact and 30 s-bucketed preps both resolve without re-deriving policy
+    bucket = sig.shape[0] // HOP_LENGTH - 2
     mel = _mel_power(sig, bucket)  # [bucket, 80]
     log_spec = _log_normalize(mel, jnp.int32(n_frames))
     return log_spec[:n_frames].T  # [80, n_frames]

@@ -133,6 +133,7 @@ class StreamingTranscriber:
         self._thread_live_from = 0
 
         self._buf = np.zeros((0,), np.float32)
+        self._pending: List[np.ndarray] = []  # fed, not yet joined to _buf
         self._buf_start = 0          # absolute sample index of _buf[0]
         self._total_samples = 0      # absolute samples received
         self._seek = 0               # absolute mel-frame seek
@@ -145,16 +146,24 @@ class StreamingTranscriber:
 
     def feed(self, waveform: np.ndarray) -> List[dict]:
         """Append a waveform piece; process every complete 30 s window."""
-        assert not self._finished, "session already finished"
+        if self._finished:
+            raise RuntimeError("session already finished")
         chunk = np.asarray(waveform)
-        if chunk.dtype == np.int16:
-            chunk = chunk.astype(np.float32) / 32768.0
-        else:
-            chunk = chunk.astype(np.float32)
         if chunk.ndim != 1:
             raise ValueError("expected mono 16 kHz waveform, got "
                              f"shape {chunk.shape}")
-        self._buf = np.concatenate([self._buf, chunk])
+        if chunk.dtype == np.int16:
+            chunk = chunk.astype(np.float32) / 32768.0
+        elif not np.issubdtype(chunk.dtype, np.floating):
+            # int32/uint8/... PCM have different full-scale conventions; a
+            # bare cast would silently feed +-2^31-range floats to the mel
+            raise ValueError(
+                f"unsupported waveform dtype {chunk.dtype}; feed float "
+                "waveforms in [-1, 1] or int16 PCM"
+            )
+        else:
+            chunk = chunk.astype(np.float32)
+        self._pending.append(chunk)
         self._total_samples += len(chunk)
 
         emitted: List[dict] = []
@@ -168,7 +177,8 @@ class StreamingTranscriber:
 
     def finish(self) -> dict:
         """Flush the buffered tail and return the transcribe()-shaped dict."""
-        assert not self._finished, "session already finished"
+        if self._finished:
+            raise RuntimeError("session already finished")
         self._finished = True
         content_frames = self._total_samples // HOP_LENGTH
         while self._seek < content_frames:
@@ -211,6 +221,10 @@ class StreamingTranscriber:
         final windows read past the received samples into zero padding,
         exactly like transcribe()'s padding=N_SAMPLES.
         """
+        if self._pending:  # join fed chunks at window boundaries only, so
+            # each feed() stays O(chunk) instead of O(retained buffer)
+            self._buf = np.concatenate([self._buf] + self._pending)
+            self._pending = []
         s0 = self._seek * HOP_LENGTH
         lead_frames = min(_MARGIN_FRAMES, self._seek)
         start = s0 - lead_frames * HOP_LENGTH
@@ -220,7 +234,10 @@ class StreamingTranscriber:
             piece = np.concatenate([
                 piece, np.zeros(end - start - len(piece), np.float32)
             ])
-        mel = log_mel_spectrogram_jax(piece, padding=0)
+        # exact=True: the ~3004-frame piece would otherwise bucket to a 60 s
+        # mel — 2x the FLOPs for frames nothing reads; window pieces are a
+        # fixed size per session, so this still compiles exactly once
+        mel = log_mel_spectrogram_jax(piece, padding=0, exact=True)
         return mel[:, lead_frames:lead_frames + N_FRAMES]
 
     def _process_window(self, final: bool) -> List[dict]:
@@ -266,7 +283,12 @@ class StreamingTranscriber:
             input_stride=self._input_stride,
             time_precision=self._time_precision,
         )
-        self._seek += parse.advance_frames
+        # progress guard: a degenerate decode (closing timestamp pair at
+        # <|0.00|>) parses to advance_frames == 0; offline that re-decodes
+        # the same window once per call, but a live session would spin
+        # forever — advance past the window instead
+        self._seek += (parse.advance_frames if parse.advance_frames > 0
+                       else segment_size)
         new_segments = [
             segment_record(
                 seek=window_start, start=start, end=end, tokens=toks,

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..checkpoint import load_params
+from ..utils import honor_jax_platforms_env
 from .dataloader import DataLoader, FeatureDataset, balanced_sample_weights
 from .loop import train, validate, wa_model
 from .steps import make_eval_step
@@ -113,6 +114,7 @@ def load_pretrained_head(params: dict, pretrained_path: str, n_class: int) -> di
 
 
 def main(argv=None):
+    honor_jax_platforms_env()
     args = get_parser().parse_args(argv)
 
     assert args.model.startswith("whisper-high-"), "model must be whisper-high-<mode>"
@@ -210,10 +212,4 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    # honor an explicit JAX_PLATFORMS request even under TPU plugins that
-    # override the env var: a jax.config pin before backend init always wins
-    if os.environ.get("JAX_PLATFORMS"):
-        import jax
-
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     main()

@@ -1,5 +1,6 @@
 from .helpers import (
     compression_ratio,
+    honor_jax_platforms_env,
     exact_div,
     format_timestamp,
     make_safe,
@@ -19,6 +20,7 @@ from .writers import (
 
 __all__ = [
     "compression_ratio",
+    "honor_jax_platforms_env",
     "exact_div",
     "format_timestamp",
     "make_safe",

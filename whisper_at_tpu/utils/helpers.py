@@ -63,3 +63,21 @@ def format_timestamp(
     return (
         f"{hours_marker}{minutes:02d}:{seconds:02d}{decimal_marker}{milliseconds:03d}"
     )
+
+
+def honor_jax_platforms_env() -> None:
+    """Make an explicit JAX_PLATFORMS env request effective under TPU
+    plugins that override the env var during backend init (e.g. the axon
+    plugin): a jax.config pin before the backend initializes always wins.
+    Call at the top of every process entry point (CLI, train main) —
+    harmless after backend init if the platform already matches."""
+    import os
+
+    platforms = os.environ.get("JAX_PLATFORMS")
+    if platforms:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", platforms)
+        except RuntimeError:
+            pass  # backend already initialized; nothing to salvage
