@@ -397,6 +397,20 @@ def orchestrate(args):
         "degraded": True,
         "error": "no successful measurement within budget",
     }
+    # context for a wedged-service capture: the last good measurement this
+    # repo recorded (committed BENCH_CONFIGS.json) — informational only,
+    # clearly labeled; the capture's own value stays 0.0/degraded
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_CONFIGS.json")) as f:
+            prior = json.load(f).get("headline", {})
+        if prior.get("value"):
+            failure["last_good_headline"] = {
+                "value": prior["value"], "metric": prior.get("metric"),
+                "note": "prior recorded sweep, NOT this capture",
+            }
+    except Exception:
+        pass
 
     def on_term(signum, frame):
         # a driver-side timeout kill must still produce a valid capture
