@@ -435,3 +435,36 @@ def test_transcribe_many_prefetched_matches_raw(model):
         assert [s["tokens"] for s in got["segments"]] == \
             [s["tokens"] for s in want["segments"]]
         np.testing.assert_array_equal(got["audio_tag"], want["audio_tag"])
+
+
+def test_batched_rejects_conditioning_kwarg(model, audio_45s):
+    """condition_on_previous_text threads windows sequentially; the batched
+    paths must reject True immediately (not crash mid-decode) and accept
+    the harmless False."""
+    with pytest.raises(ValueError, match="condition_on_previous_text"):
+        wat.transcribe_batched(model, audio_45s,
+                               condition_on_previous_text=True)
+    with pytest.raises(ValueError, match="condition_on_previous_text"):
+        wat.transcribe_many(model, [audio_45s],
+                            condition_on_previous_text=True)
+    out = wat.transcribe_batched(model, audio_45s,
+                                 condition_on_previous_text=False,
+                                 **_STRESS_KWARGS)
+    assert "segments" in out
+
+
+def test_batch_bucket_ladder():
+    from whisper_at_tpu.transcribe import _batch_bucket
+
+    assert [_batch_bucket(n, 24) for n in (1, 2, 3, 5, 9, 17, 24)] == \
+        [1, 2, 4, 8, 16, 24, 24]
+    assert _batch_bucket(1, 8) == 1 and _batch_bucket(7, 8) == 8
+    # dp-divisibility: buckets round up to the mesh's dp
+    assert _batch_bucket(1, 24, dp=8) == 8
+    assert _batch_bucket(9, 24, dp=8) == 16
+
+
+def test_batched_verbose_prints_segments(model, audio_45s, capsys):
+    wat.transcribe_batched(model, audio_45s, verbose=True, **_STRESS_KWARGS)
+    out = capsys.readouterr().out
+    assert "-->" in out  # per-segment lines, like the sequential path

@@ -9,8 +9,13 @@ residual as separate passes. This kernel never materializes it:
   kernel computes h_j = gelu(LN(x_i) @ W1[:, j] + b1[j]) as a [block_m,
   block_ff] VMEM tile and accumulates h_j @ W2[j, :] into a [block_m, D]
   fp32 scratch; the LN'd input is computed once per m-block (at j == 0)
-  into a second scratch. HBM traffic per layer drops to: read x once,
-  stream W1/W2 once, write out once.
+  into a second scratch. The [B*T, 4D] intermediate never touches HBM;
+  note W1/W2 (~26 MB bf16 at large-v1) ARE re-streamed once per m-block
+  (M/block_m = 144 times at batch 24, ~3.7 GB/layer of weight traffic) —
+  acceptable here because at M = 36864 the kernel is MXU-bound, but it is
+  why this shape of kernel loses at small M (see ops/fused_mlp.py's
+  decode-step negative result) and why shrinking batch/block_m or growing
+  d_ff moves the bandwidth floor.
 
 On-chip at [24, 1536, 1280] (large-v1 batch 24): XLA half-block 11.75
 ms/layer (82 TFLOP/s) vs this kernel 8.83 ms/layer (109 TFLOP/s) at the

@@ -227,7 +227,11 @@ def transcribe(
                 input_stride=input_stride,
                 time_precision=time_precision,
             )
-            seek += parse.advance_frames
+            # progress guard: a degenerate decode (closing timestamp pair
+            # at the window start) parses to advance 0 — re-decoding the
+            # identical window forever; advance past the window instead
+            seek += (parse.advance_frames if parse.advance_frames > 0
+                     else segment_size)
             new_segments = [
                 segment_record(
                     seek=window_start, start=start, end=end, tokens=toks,
@@ -288,6 +292,48 @@ def transcribe(
 # --------------------------------------------------------------------------- #
 
 
+def _mel_to_windows(mel):
+    """[80, T] device mel -> ([n_win, 80, 3000] windows, content_frames).
+    n_win is 0 for empty audio (no content beyond the 30 s padding)."""
+    content_frames = mel.shape[-1] - N_FRAMES
+    n_windows = -(-content_frames // N_FRAMES)
+    if n_windows <= 0:
+        return None, content_frames
+    mel_padded = pad_or_trim(mel, n_windows * N_FRAMES)
+    windows = mel_padded.T.reshape(n_windows, N_FRAMES, -1).transpose(0, 2, 1)
+    return windows, content_frames
+
+
+def _round_max_batch_for_mesh(max_batch: int, mesh) -> int:
+    dp = mesh.shape.get("dp", 1)
+    if max_batch % dp != 0:
+        max_batch = max(dp, (max_batch // dp) * dp)
+    return max_batch
+
+
+def _batch_bucket(n: int, max_batch: int, dp: int = 1) -> int:
+    """Smallest padded batch size for n rows, from a fixed ladder.
+
+    Without bucketing every distinct pending-chunk size (the tail chunk,
+    each fallback rung's reject count) compiles a fresh encoder+decoder
+    program; the ladder bounds compiles to a handful of shapes."""
+    ladder = [b for b in (1, 2, 4, 8, 16) if b < max_batch] + [max_batch]
+    bucket = next(b for b in ladder if b >= n)
+    if bucket % dp:
+        bucket = -(-bucket // dp) * dp
+    return bucket
+
+
+def _reject_conditioning(decode_options):
+    if decode_options.pop("condition_on_previous_text", False):
+        raise ValueError(
+            "condition_on_previous_text=True threads each window's output "
+            "into the next and is inherently sequential — use transcribe(). "
+            "The batched paths decode windows in parallel "
+            "(condition_on_previous_text=False semantics)."
+        )
+
+
 def transcribe_batched(
     model,
     audio: Union[str, np.ndarray, PrefetchedAudio],
@@ -326,12 +372,11 @@ def transcribe_batched(
     temperature fallback ladder still applies, re-decoding only the windows
     that failed quality thresholds. Returns the same result dict.
     """
+    _reject_conditioning(decode_options)
     # the mel stays ON DEVICE: windows are sliced device-side (D2H of the
     # full mel over a tunneled TPU measured ~25 MB/s — dominating the batch)
     mel_device = log_mel_spectrogram(audio, padding=N_SAMPLES)
-    content_frames = mel_device.shape[-1] - N_FRAMES
 
-    grid = TagGrid(content_frames, at_time_res)
     gate = QualityGate(compression_ratio_threshold, logprob_threshold,
                        no_speech_threshold)
     language = _resolve_language(
@@ -343,17 +388,19 @@ def transcribe_batched(
     input_stride, time_precision = _geometry(model)
 
     # device-side windowing: [80, T] -> [W, 80, 3000] with zero tail padding
-    n_windows = max(1, -(-content_frames // N_FRAMES))
-    mel_padded = pad_or_trim(mel_device, n_windows * N_FRAMES)
-    windows = mel_padded.T.reshape(n_windows, N_FRAMES, -1).transpose(0, 2, 1)
+    windows, content_frames = _mel_to_windows(mel_device)
+    grid = TagGrid(content_frames, at_time_res)
+    if windows is None:
+        # empty audio: the reference's seek loop never enters — zero
+        # segments, zero tag logits, and no decode of the padding window
+        return dict(text="", segments=[], language=language,
+                    at_time_res=at_time_res, audio_tag=grid.logits)
 
     if mesh is not None:
         from .parallel.inference import place_model_on_mesh
 
         place_model_on_mesh(model, mesh)
-        dp = mesh.shape.get("dp", 1)
-        if max_batch % dp != 0:
-            max_batch = max(dp, (max_batch // dp) * dp)
+        max_batch = _round_max_batch_for_mesh(max_batch, mesh)
 
     if initial_prompt is not None:
         decode_options["prompt"] = tokenizer.encode(
@@ -383,11 +430,6 @@ def transcribe_batched(
         at_time_res=at_time_res,
         audio_tag=grid.logits,
     )
-
-
-def _stitch_tags_batched(model, entries, at_time_res, max_batch: int):
-    """Batched TL-TR tagging over decoded windows: dispatch + commit."""
-    _stitch_tags_dispatch(model, entries, at_time_res, max_batch)()
 
 
 def _stitch_tags_dispatch(model, entries, at_time_res, max_batch: int):
@@ -474,6 +516,11 @@ def _assemble_windows(model, results, windows, content_frames, tokenizer,
         for seg in window_segments:
             seg["id"] = len(all_segments)
             all_segments.append(seg)
+            if verbose:
+                print(make_safe(
+                    f"[{format_timestamp(seg['start'])} --> "
+                    f"{format_timestamp(seg['end'])}] {seg['text']}"
+                ))
 
     return all_tokens, all_segments
 
@@ -509,6 +556,7 @@ def transcribe_many(
     audios: list of waveforms and/or file paths.
     Returns one `transcribe_batched`-shaped result dict per input, in order.
     """
+    _reject_conditioning(decode_options)
     gate = QualityGate(compression_ratio_threshold, logprob_threshold,
                        no_speech_threshold)
     input_stride, time_precision = _geometry(model)
@@ -519,10 +567,7 @@ def transcribe_many(
     files = []
     for audio in audios:
         mel = log_mel_spectrogram(audio, padding=N_SAMPLES)
-        content_frames = mel.shape[-1] - N_FRAMES
-        n_win = max(1, -(-content_frames // N_FRAMES))
-        mel_padded = pad_or_trim(mel, n_win * N_FRAMES)
-        wins = mel_padded.T.reshape(n_win, N_FRAMES, -1).transpose(0, 2, 1)
+        wins, content_frames = _mel_to_windows(mel)
         if needs_detect:
             language = None  # batched detection below
         else:
@@ -530,7 +575,8 @@ def transcribe_many(
             language = _resolve_language(model, pad_or_trim(mel, N_FRAMES),
                                          opts)
         files.append({"windows": wins, "content": content_frames,
-                      "language": language})
+                      "language": language,
+                      "first": pad_or_trim(mel, N_FRAMES)})
 
     if needs_detect:
         # ONE batched language-id pass over every file's first window —
@@ -540,7 +586,7 @@ def transcribe_many(
 
         for lo in range(0, len(files), max_batch):
             chunk = files[lo:lo + max_batch]
-            first = jnp.stack([f["windows"][0] for f in chunk])
+            first = jnp.stack([f["first"] for f in chunk])
             _, probs = _detect(model, first)
             for f, p in zip(chunk, probs):
                 f["language"] = max(p, key=p.get)
@@ -549,9 +595,7 @@ def transcribe_many(
         from .parallel.inference import place_model_on_mesh
 
         place_model_on_mesh(model, mesh)
-        dp = mesh.shape.get("dp", 1)
-        if max_batch % dp != 0:
-            max_batch = max(dp, (max_batch // dp) * dp)
+        max_batch = _round_max_batch_for_mesh(max_batch, mesh)
 
     by_lang = {}
     for i, f in enumerate(files):
@@ -565,17 +609,25 @@ def transcribe_many(
         opts["language"] = language
         if initial_prompt is not None:
             opts["prompt"] = tokenizer.encode(" " + initial_prompt.strip())
+        for i in idxs:
+            files[i]["tokenizer"] = tokenizer
+        # empty recordings decode nothing (the reference's seek loop never
+        # enters); their results stay []
+        live = [i for i in idxs if files[i]["windows"] is not None]
+        for i in idxs:
+            results_per_file[i] = []
+        if not live:
+            continue
         packed = jnp.concatenate(
-            [files[i]["windows"] for i in idxs], axis=0
+            [files[i]["windows"] for i in live], axis=0
         )
         res = _decode_windows_batched(
             model, packed, temperature, gate, opts, max_batch, mesh
         )
         pos = 0
-        for i in idxs:
+        for i in live:
             n = files[i]["windows"].shape[0]
             results_per_file[i] = res[pos:pos + n]
-            files[i]["tokenizer"] = tokenizer
             pos += n
 
     # one batched tag pass over every window of every file, dispatched
@@ -618,24 +670,24 @@ def _decode_windows_batched(model, windows, temperature, gate: QualityGate,
     n_windows = windows.shape[0]
     results: List[Optional[DecodingResult]] = [None] * n_windows
     pending = list(range(n_windows))
+    dp = mesh.shape.get("dp", 1) if mesh is not None else 1
     for t, kwargs in temperature_schedule(temperature, decode_options):
         if not pending:
             break
         dtask = DecodingTask(model, DecodingOptions(**kwargs, temperature=t))
         for lo in range(0, len(pending), max_batch):
             chunk = pending[lo:lo + max_batch]
-            batch_rows = list(chunk)
+            # pad to a bucketed batch size (repeating the last row; padded
+            # rows are decoded and dropped) so tail chunks and fallback-rung
+            # reject lists reuse a handful of compiled programs instead of
+            # compiling one per distinct count
+            bucket = _batch_bucket(len(chunk), max_batch, dp)
+            batch_rows = list(chunk) + [chunk[-1]] * (bucket - len(chunk))
+            chunk_windows = windows[jnp.asarray(batch_rows, jnp.int32)]
             if mesh is not None:
                 from .parallel.inference import shard_windows
 
-                dp = mesh.shape.get("dp", 1)
-                while len(batch_rows) % dp != 0:
-                    batch_rows.append(chunk[-1])  # dp-pad; extras dropped
-                chunk_windows = shard_windows(
-                    mesh, windows[jnp.asarray(batch_rows, jnp.int32)]
-                )
-            else:
-                chunk_windows = windows[jnp.asarray(batch_rows, jnp.int32)]
+                chunk_windows = shard_windows(mesh, chunk_windows)
             for w, r in zip(chunk, dtask.run(chunk_windows)):
                 results[w] = r
         pending = [w for w in pending if gate.needs_fallback(results[w])]
