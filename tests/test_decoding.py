@@ -489,3 +489,59 @@ def test_gather_beam_cache_matches_full_take():
                 np.asarray(got[k]),
                 np.asarray(jnp.take(cache[k], flat_src, axis=1)),
             )
+
+
+def test_kv_precompute_kernel_matches_xla(model, mel, monkeypatch):
+    """The fused projection+quantize pallas kernel (ops/kv_quant.py) must
+    emit the SAME fused-layout artifacts as the XLA formulation — int8
+    payloads exactly, scales to fp rounding — for int8 and int4, and for
+    a Ta that is not a multiple of the kernel's row block."""
+    from whisper_at_tpu.models.decoder import precompute_cross_kv
+
+    audio_features, _ = model.embed_audio(mel, fp16=False)
+    dec_params = model.decoder_params_decode(False)
+    nh = DIMS.n_text_head
+
+    for bits in (8, 4):
+        for ta in (audio_features.shape[1], 190):
+            feats = audio_features[:, :ta]
+            monkeypatch.setenv("WHISPER_AT_TPU_KV_PRECOMPUTE", "xla")
+            ck_x, cv_x = precompute_cross_kv(
+                dec_params, feats, nh, jnp.float32, quantize=True,
+                layout="fused", bits=bits)
+            monkeypatch.setenv("WHISPER_AT_TPU_KV_PRECOMPUTE", "kernel")
+            ck_k, cv_k = precompute_cross_kv(
+                dec_params, feats, nh, jnp.float32, quantize=True,
+                layout="fused", bits=bits)
+            for x, k in ((ck_x, ck_k), (cv_x, cv_k)):
+                assert set(x) == set(k)
+                payload = "q4" if bits == 4 else "q"
+                qx = np.asarray(x[payload]).astype(np.int32)
+                qk = np.asarray(k[payload]).astype(np.int32)
+                # fp32/HIGHEST on CPU: accumulation differences can flip a
+                # value sitting exactly on a rounding boundary — allow a
+                # vanishing fraction of off-by-one entries, nothing more
+                diff = np.abs(qx - qk)
+                assert diff.max() <= 1
+                assert (diff > 0).mean() < 1e-3
+                np.testing.assert_allclose(
+                    np.asarray(x["s"]), np.asarray(k["s"]),
+                    rtol=1e-5, atol=1e-30)
+                if "m" in x:
+                    np.testing.assert_array_equal(
+                        np.asarray(x["m"]), np.asarray(k["m"]))
+
+
+def test_kv_precompute_kernel_decode_token_parity(model, mel, monkeypatch):
+    """Full decode() with the kernel precompute must emit the same tokens
+    as the XLA precompute (greedy + beam, int8 fused layout)."""
+    base = dict(language="en", fp16=False, sample_len=12, kv_quant=True,
+                kv_layout="fused")
+    monkeypatch.setenv("WHISPER_AT_TPU_KV_PRECOMPUTE", "xla")
+    g_x = decode(model, mel[0], DecodingOptions(**base))
+    b_x = decode(model, mel[0], DecodingOptions(**base, beam_size=2))
+    monkeypatch.setenv("WHISPER_AT_TPU_KV_PRECOMPUTE", "kernel")
+    g_k = decode(model, mel[0], DecodingOptions(**base))
+    b_k = decode(model, mel[0], DecodingOptions(**base, beam_size=2))
+    assert g_x.tokens == g_k.tokens
+    assert b_x.tokens == b_k.tokens

@@ -10,6 +10,7 @@ Variable-length prompts are right-aligned into a fixed prefill bucket: slots
 (slot - pad), so one compiled program covers every prompt length in a bucket.
 """
 
+import os
 from functools import partial
 from typing import Optional, Tuple
 
@@ -17,6 +18,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.cross_decode import cross_attention_int8, pad_ta
+from ..ops.kv_quant import HAVE_PALLAS as HAVE_KV_KERNEL
+from ..ops.kv_quant import project_quantize_kv
 from .layers import (
     attention,
     init_block,
@@ -236,10 +239,6 @@ def _quantize_sym(x: jnp.ndarray, axis: int, bits: int = 8) -> dict:
     return {"q": q, "s": scale}
 
 
-@partial(
-    jax.jit,
-    static_argnames=("n_head", "compute_dtype", "quantize", "layout", "bits"),
-)
 def precompute_cross_kv(
     params: dict,
     xa: jnp.ndarray,
@@ -248,6 +247,46 @@ def precompute_cross_kv(
     quantize: bool = False,
     layout: str = "heads",
     bits: int = 8,
+):
+    """See _precompute_cross_kv. This wrapper resolves the fused-layout
+    projection+quantize implementation OUTSIDE the jit trace so the env
+    override participates in the compilation cache key:
+
+      WHISPER_AT_TPU_KV_PRECOMPUTE=kernel|xla
+        kernel: ops/kv_quant.py pallas kernel — projects and quantizes
+          each layer's cross-KV in VMEM, never materializing the bf16
+          [B, Ta, D] projection outputs in HBM. Opt-in until its on-chip
+          compile + timing are verified (the shared TPU was unreachable
+          when it landed); parity is pinned by tests on the interpret path.
+        xla (default): the einsum/quantize/pad formulation (always used
+          for the non-fused layouts, where artifacts must be bitwise
+          reproducible against the oracle quantizer).
+    """
+    impl = "xla"
+    if quantize and layout == "fused" and HAVE_KV_KERNEL \
+            and "w" in params["blocks"]["cross_attn"]["key"]:
+        impl = os.environ.get("WHISPER_AT_TPU_KV_PRECOMPUTE", "xla")
+        if impl == "kernel" and jax.default_backend() != "tpu":
+            impl = "kernel-interpret"
+    return _precompute_cross_kv(
+        params, xa, n_head, compute_dtype, quantize, layout, bits, impl
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_head", "compute_dtype", "quantize", "layout", "bits",
+                     "impl"),
+)
+def _precompute_cross_kv(
+    params: dict,
+    xa: jnp.ndarray,
+    n_head: int,
+    compute_dtype=jnp.float32,
+    quantize: bool = False,
+    layout: str = "heads",
+    bits: int = 8,
+    impl: str = "xla",
 ):
     """Cross-attention keys/values for all layers, computed once per decode.
 
@@ -268,42 +307,70 @@ def precompute_cross_kv(
     reshape, so one precompute serves kernel steps and einsum prefills.
     """
     xa = xa.astype(compute_dtype)
+    use_kernel = impl.startswith("kernel")
+    if use_kernel:
+        b0, ta0, _ = xa.shape
+        # one bf16 row pad shared by every layer's kernel call (the XLA
+        # path instead pads each layer's four quantized artifacts)
+        xa_kernel = jnp.pad(xa, ((0, 0), (0, pad_ta(ta0) - ta0), (0, 0)))
 
     def body(_, block_params):
         ca = block_params["cross_attn"]
         if quantize and layout == "fused":
-            # quantize in the projections' natural [B, Ta, D] layout: the
-            # per-position scale groups over Dh are the same 64 values
-            # either way (max is order-independent, so the int8 tensors are
-            # bitwise identical to the head-layout quantization), but V's
-            # fused layout [B, Ta, H*Dh] falls out with NO transpose and K
-            # transposes int8 instead of bf16 — a third of the precompute
-            # pass's HBM traffic
-            k_raw = linear(ca["key"], xa)    # [B, Ta, D]
-            v_raw = linear(ca["value"], xa)  # [B, Ta, D]
-            b, ta, d = k_raw.shape
-            dh = d // n_head
-            ta_pad = pad_ta(ta)
-            pad = ta_pad - ta
-            kq = _quantize_sym(
-                k_raw.reshape(b, ta, n_head, dh), axis=-1, bits=bits
-            )
-            vq = _quantize_sym(
-                v_raw.reshape(b, ta, n_head, dh), axis=-1, bits=bits
-            )
-            kf = jnp.pad(
-                kq["q"].reshape(b, ta, d).transpose(0, 2, 1),
-                ((0, 0), (0, 0), (0, pad)),
-            )
-            ks = jnp.pad(
-                kq["s"][..., 0].transpose(0, 2, 1), ((0, 0), (0, 0), (0, pad))
-            )
-            vf = jnp.pad(
-                vq["q"].reshape(b, ta, d), ((0, 0), (0, pad), (0, 0))
-            )
-            vs = jnp.pad(
-                vq["s"][..., 0].transpose(0, 2, 1), ((0, 0), (0, 0), (0, pad))
-            )
+            if use_kernel:
+                # fused projection+quantize (ops/kv_quant.py): the bf16
+                # [B, Ta, D] projection outputs never touch HBM
+                kq_n, ks_n, vq_n, vs_n = project_quantize_kv(
+                    xa_kernel, ca["key"]["w"].astype(compute_dtype),
+                    ca["value"]["w"].astype(compute_dtype),
+                    ca["value"]["b"].astype(compute_dtype),
+                    n_head, ta_valid=ta0, bits=bits,
+                    interpret=impl == "kernel-interpret",
+                )
+                kf = kq_n.transpose(0, 2, 1)   # int8 [B, D, Ta_pad]
+                ks = ks_n.transpose(0, 2, 1)
+                vf = vq_n                      # int8 [B, Ta_pad, D]
+                vs = vs_n.transpose(0, 2, 1)
+                if bits == 4:
+                    kf = kf.astype(jnp.int4)
+                    vf = vf.astype(jnp.int4)
+                ta, ta_pad = ta0, kf.shape[-1]
+                pad = ta_pad - ta
+            else:
+                # quantize in the projections' natural [B, Ta, D] layout:
+                # the per-position scale groups over Dh are the same 64
+                # values either way (max is order-independent, so the int8
+                # tensors are bitwise identical to the head-layout
+                # quantization), but V's fused layout [B, Ta, H*Dh] falls
+                # out with NO transpose and K transposes int8 instead of
+                # bf16 — a third of the precompute pass's HBM traffic
+                k_raw = linear(ca["key"], xa)    # [B, Ta, D]
+                v_raw = linear(ca["value"], xa)  # [B, Ta, D]
+                b, ta, d = k_raw.shape
+                dh = d // n_head
+                ta_pad = pad_ta(ta)
+                pad = ta_pad - ta
+                kq = _quantize_sym(
+                    k_raw.reshape(b, ta, n_head, dh), axis=-1, bits=bits
+                )
+                vq = _quantize_sym(
+                    v_raw.reshape(b, ta, n_head, dh), axis=-1, bits=bits
+                )
+                kf = jnp.pad(
+                    kq["q"].reshape(b, ta, d).transpose(0, 2, 1),
+                    ((0, 0), (0, 0), (0, pad)),
+                )
+                ks = jnp.pad(
+                    kq["s"][..., 0].transpose(0, 2, 1),
+                    ((0, 0), (0, 0), (0, pad))
+                )
+                vf = jnp.pad(
+                    vq["q"].reshape(b, ta, d), ((0, 0), (0, pad), (0, 0))
+                )
+                vs = jnp.pad(
+                    vq["s"][..., 0].transpose(0, 2, 1),
+                    ((0, 0), (0, 0), (0, pad))
+                )
             mask = jnp.concatenate(
                 [jnp.zeros((1, ta), jnp.float32),
                  jnp.full((1, pad), -1e30, jnp.float32)], axis=1,
