@@ -468,3 +468,35 @@ def test_batched_verbose_prints_segments(model, audio_45s, capsys):
     wat.transcribe_batched(model, audio_45s, verbose=True, **_STRESS_KWARGS)
     out = capsys.readouterr().out
     assert "-->" in out  # per-segment lines, like the sequential path
+
+
+def test_sequential_progress_guard_on_degenerate_decode(model, audio_45s,
+                                                        monkeypatch):
+    """A decode whose closing timestamp pair sits at the window start parses
+    to advance_frames == 0; the seek loop must advance a full window instead
+    of re-decoding the identical window forever."""
+    from whisper_at_tpu.decoding import DecodingResult
+    from whisper_at_tpu.tokenizer import get_tokenizer
+
+    tb = get_tokenizer(model.is_multilingual, language="en",
+                       task="transcribe").timestamp_begin
+    calls = {"n": 0}
+
+    def fake_decode(self, mel, options=None, **kw):
+        calls["n"] += 1
+        assert calls["n"] < 10, "seek loop failed to make progress"
+        feats, at_feats = self.embed_audio(mel[None], fp16=False)
+        # <|0.00|> text <|0.00|><|0.00|>: pair closes at the window start
+        return DecodingResult(
+            audio_features=feats[0], audio_features_for_at=at_feats[0],
+            language="en", tokens=[tb, 123, tb, tb], text="x",
+            avg_logprob=-0.1, no_speech_prob=0.0, temperature=0.0,
+            compression_ratio=1.0)
+
+    monkeypatch.setattr(Whisper, "decode", fake_decode)
+    out = wat.transcribe(
+        model, audio_45s, language="en", fp16=False,
+        logprob_threshold=None, compression_ratio_threshold=None,
+        no_speech_threshold=None)
+    assert calls["n"] == 2  # one decode per 30 s window, no re-decode
+    assert len(out["segments"]) == 2
