@@ -500,3 +500,28 @@ def test_sequential_progress_guard_on_degenerate_decode(model, audio_45s,
         no_speech_threshold=None)
     assert calls["n"] == 2  # one decode per 30 s window, no re-decode
     assert len(out["segments"]) == 2
+
+
+def test_transcribe_many_word_timestamps_match_batched(model):
+    """word_timestamps=True through the serving packer must carve the same
+    per-word timings as per-file transcribe_batched (the QK capture and DTW
+    run per window, so packing cannot change them)."""
+    rng = np.random.default_rng(33)
+    clips = [
+        (0.2 * rng.standard_normal(16000 * secs)).astype(np.float32)
+        for secs in (9, 32)
+    ]
+    kwargs = dict(
+        language="en", fp16=False, temperature=0.0, sample_len=12,
+        logprob_threshold=None, compression_ratio_threshold=None,
+        no_speech_threshold=None, word_timestamps=True,
+    )
+    singles = [wat.transcribe_batched(model, c, **kwargs) for c in clips]
+    packed = wat.transcribe_many(model, clips, max_batch=3, **kwargs)
+    for got, want in zip(packed, singles):
+        for gs, ws in zip(got["segments"], want["segments"]):
+            assert [w["word"] for w in gs["words"]] == \
+                [w["word"] for w in ws["words"]]
+            np.testing.assert_allclose(
+                [(w["start"], w["end"]) for w in gs["words"]],
+                [(w["start"], w["end"]) for w in ws["words"]], atol=1e-6)
