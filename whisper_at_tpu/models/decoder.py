@@ -575,7 +575,16 @@ def decoder_forward(
                 # decode steps / small prefills: one-matmul pallas kernel
                 # reads the int KV stream directly (no bf16 materialization)
                 q_rows = (qh_c * scale).reshape(a_, h_heads * t2_, dh_)
-                out = cross_attention_int8(
+                # experiment flag (read at trace time — set before the
+                # process's first decode): manual-DMA-ring streaming
+                # variant, see ops/cross_decode_stream.py
+                if os.environ.get("WHISPER_AT_TPU_CROSS_DECODE") == "stream":
+                    from ..ops.cross_decode_stream import (
+                        cross_attention_int8_stream as _cross_fn,
+                    )
+                else:
+                    _cross_fn = cross_attention_int8
+                out = _cross_fn(
                     q_rows.astype(compute_dtype),
                     cross_kv_payload(ck), ck["s"],
                     cross_kv_payload(cv), cv["s"], ck["m"],

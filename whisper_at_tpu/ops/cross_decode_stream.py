@@ -1,0 +1,214 @@
+"""Decode cross-attention with a manual N-deep DMA ring (experiment).
+
+The shipped kernel (ops/cross_decode.py) is DMA-bound: a stream-only
+variant times the same as the full kernel, and effective streaming
+bandwidth on this chip measures 150-300 GB/s vs the 819 GB/s HBM spec.
+Pallas's automatic grid pipelining keeps ~1 block in flight; if the gap is
+outstanding-DMA depth (tools/probe_dma.py is the isolated probe), this
+variant should close it: the int8/int4 KV streams stay in HBM (pl.ANY) and
+the kernel drives its own ring of `nbuf` async copies over Ta chunks,
+computing flash-style online softmax per chunk so K and V stream together
+in one pass.
+
+Math: identical operands and scale folding as cross_decode._kernel (int8
+dequant in registers, bf16 MXU matmuls with f32 accumulation, f32 softmax,
+per-position V scales folded into the weights), but the softmax is the
+online/rescaled formulation — results match to f32 rounding, not bitwise.
+
+int4 note: the Ta-halves nibble packing stores position j and position
+Ta/2+j in one byte, so each DMA'd byte chunk carries TWO disjoint position
+ranges; online softmax is order-free, so the kernel simply processes both
+slabs per chunk (their scales/bias slices live fully in VMEM).
+
+Selection: WHISPER_AT_TPU_CROSS_DECODE=stream (read at trace time in
+models/decoder.py — set it before the first decode of the process).
+Default stays the shipped kernel until an on-chip A/B shows a win.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    HAVE_PALLAS = True
+except ImportError:  # pragma: no cover
+    HAVE_PALLAS = False
+
+NEG_BIG = -1e30
+_CHUNK = 512   # Ta positions per ring slot
+_NBUF = 4      # outstanding DMA depth
+
+
+def _kernel(ks_ref, vs_ref, bias_ref, q_ref, kq_hbm, vq_hbm, out_ref,
+            kbuf, vbuf, ksem, vsem,
+            *, n_head, d_head, groups, chunk, nbuf, bits):
+    hg = n_head * groups
+    hd = n_head * d_head
+    f32 = jnp.float32
+    b = pl.program_id(0)
+    # bytes per slot along Ta (int4 packs two positions per byte)
+    ta_bytes = kq_hbm.shape[-1]
+    n_chunks = ta_bytes // chunk
+
+    def k_dma(slot, c):
+        return pltpu.make_async_copy(
+            kq_hbm.at[b, :, pl.ds(c * chunk, chunk)],
+            kbuf.at[slot], ksem.at[slot])
+
+    def v_dma(slot, c):
+        return pltpu.make_async_copy(
+            vq_hbm.at[b, pl.ds(c * chunk, chunk), :],
+            vbuf.at[slot], vsem.at[slot])
+
+    for s in range(min(nbuf, n_chunks)):
+        k_dma(s, s).start()
+        v_dma(s, s).start()
+
+    # block-diagonal head fold (see cross_decode._kernel)
+    q = q_ref[0]  # [HG, Dh], pre-scaled by dh^-0.5
+    q_tiled = pltpu.repeat(q, n_head, axis=1)
+    col_head = jax.lax.broadcasted_iota(jnp.int32, (hg, hd), 1) // d_head
+    row_head = jax.lax.broadcasted_iota(jnp.int32, (hg, hd), 0) // groups
+    q_diag = jnp.where(col_head == row_head, q_tiled, 0).astype(q.dtype)
+    prec = (jax.lax.Precision.HIGHEST if q_ref.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+    def fold_rows(x):
+        """[H, Ta] per-head vector -> [HG, Ta] row layout (head-major)."""
+        if groups == 1:
+            return x
+        ta = x.shape[-1]
+        x = pltpu.repeat(x, groups, axis=0).reshape(groups, n_head, ta)
+        return x.transpose(1, 0, 2).reshape(hg, ta)
+
+    k_s = fold_rows(ks_ref[0])        # [HG, Ta] f32
+    v_s = fold_rows(vs_ref[0])
+    bias = bias_ref[0]                # [Ta] f32
+
+    def slabs(kc, vc, c):
+        """One ring slot's int payload -> list of (k [HD,C], v [C,HD],
+        position offset) slabs in natural Ta coordinates."""
+        if bits == 8:
+            return [(kc, vc, c * chunk)]
+        # int4 Ta-halves: low nibble = position (c*chunk + i), high nibble
+        # = position (ta_bytes + c*chunk + i); ta_bytes == Ta_pad // 2
+        k32 = kc.astype(jnp.int32)
+        v32 = vc.astype(jnp.int32)
+        k_lo = jnp.right_shift(jnp.left_shift(k32, 28), 28)
+        k_hi = jnp.right_shift(k32, 4)
+        v_lo = jnp.right_shift(jnp.left_shift(v32, 28), 28)
+        v_hi = jnp.right_shift(v32, 4)
+        return [(k_lo, v_lo, c * chunk),
+                (k_hi, v_hi, ta_bytes + c * chunk)]
+
+    m0 = jnp.full((hg, 1), NEG_BIG, f32)
+    l0 = jnp.zeros((hg, 1), f32)
+    acc0 = jnp.zeros((hg, hd), f32)
+
+    def body(c, carry):
+        m, l, acc = carry
+        slot = jax.lax.rem(c, nbuf)
+        k_dma(slot, c).wait()
+        v_dma(slot, c).wait()
+        kc = kbuf[slot]
+        vc = vbuf[slot]
+
+        @pl.when(c + nbuf < n_chunks)
+        def _():
+            k_dma(slot, c + nbuf).start()
+            v_dma(slot, c + nbuf).start()
+
+        for k_vals, v_vals, off in slabs(kc, vc, c):
+            raw = jnp.dot(q_diag, k_vals.astype(q.dtype),
+                          preferred_element_type=f32, precision=prec)
+            width = raw.shape[-1]
+            logits = (raw * jax.lax.dynamic_slice(k_s, (0, off), (hg, width))
+                      + jax.lax.dynamic_slice(bias, (off,), (width,))[None])
+            m_new = jnp.maximum(m, jnp.max(logits, axis=-1, keepdims=True))
+            alpha = jnp.exp(m - m_new)
+            p = jnp.exp(logits - m_new)
+            l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            pw = (p * jax.lax.dynamic_slice(v_s, (0, off), (hg, width))
+                  ).astype(q.dtype)
+            acc = acc * alpha + jnp.dot(pw, v_vals.astype(q.dtype),
+                                        preferred_element_type=f32,
+                                        precision=prec)
+            m = m_new
+        return m, l, acc
+
+    _, l, acc = jax.lax.fori_loop(0, n_chunks, body, (m0, l0, acc0))
+    full = acc / l  # [HG, H*Dh]
+
+    row_h = jax.lax.broadcasted_iota(jnp.int32, (hg, d_head), 0) // groups
+    out = jnp.zeros((hg, d_head), f32)
+    for h in range(n_head):
+        blk = full[:, h * d_head:(h + 1) * d_head]
+        out = out + jnp.where(row_h == h, blk, 0.0)
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("n_head", "interpret", "chunk", "nbuf",
+                                   "bits"))
+def cross_attention_int8_stream(
+    q: jnp.ndarray,     # [B, H*G, Dh] bf16/f32, ALREADY scaled by dh**-0.5
+    k_q: jnp.ndarray,   # [B, H*Dh, Ta_pad] int8 (bits=4: [B, H*Dh, Ta_pad/2])
+    k_s: jnp.ndarray,   # [B, H, Ta_pad] fp32
+    v_q: jnp.ndarray,   # [B, Ta_pad, H*Dh] int8 (bits=4: [B, Ta_pad/2, H*Dh])
+    v_s: jnp.ndarray,   # [B, H, Ta_pad] fp32
+    bias: jnp.ndarray,  # [1, Ta_pad] fp32 additive column mask
+    n_head: int,
+    interpret: bool = False,
+    chunk: int = None,
+    nbuf: int = None,
+    bits: int = 8,
+) -> jnp.ndarray:
+    """Same contract as cross_decode.cross_attention_int8 (online softmax)."""
+    b, hg, dh = q.shape
+    groups = hg // n_head
+    assert hg == n_head * groups
+    ta = k_q.shape[-1] * (2 if bits == 4 else 1)
+    hd = k_q.shape[1]
+    if chunk is None:
+        chunk = _CHUNK
+    while k_q.shape[-1] % chunk:
+        chunk //= 2
+    if nbuf is None:
+        nbuf = _NBUF
+    kernel = partial(_kernel, n_head=n_head, d_head=dh, groups=groups,
+                     chunk=chunk, nbuf=nbuf, bits=bits)
+    compiler_params = None
+    if not interpret:
+        compiler_params = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        )
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        compiler_params=compiler_params,
+        in_specs=[
+            pl.BlockSpec((1, n_head, ta), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_head, ta), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ta), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hg, dh), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, hg, dh), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, hg, dh), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((nbuf, hd, chunk), jnp.int8),
+            pltpu.VMEM((nbuf, chunk, hd), jnp.int8),
+            pltpu.SemaphoreType.DMA((nbuf,)),
+            pltpu.SemaphoreType.DMA((nbuf,)),
+        ],
+        interpret=interpret,
+    )(k_s, v_s, bias, q, k_q, v_q)
