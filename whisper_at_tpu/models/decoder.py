@@ -32,6 +32,11 @@ from .layers import (
 
 NEG_INF = float("-inf")
 
+# WHISPER_AT_TPU_CROSS_DECODE=stream selects the manual-DMA-ring decode
+# cross-attention experiment (ops/cross_decode_stream.py). Import-time
+# constant: set it in the environment before importing whisper_at_tpu.
+_CROSS_DECODE_IMPL = os.environ.get("WHISPER_AT_TPU_CROSS_DECODE", "")
+
 
 def init_decoder(key, dims, dtype=jnp.float32) -> dict:
     ke, kp, kb = jax.random.split(key, 3)
@@ -268,6 +273,11 @@ def precompute_cross_kv(
         impl = os.environ.get("WHISPER_AT_TPU_KV_PRECOMPUTE", "xla")
         if impl == "kernel" and jax.default_backend() != "tpu":
             impl = "kernel-interpret"
+        if impl == "kernel" and compute_dtype == jnp.float32:
+            # f32 weights would pin 2 x [D, D] x 4 B in VMEM (13 MB at
+            # large-v1) on top of the row tiles; f32 is the parity mode
+            # anyway, where the bitwise-reproducible XLA path is the point
+            impl = "xla"
     return _precompute_cross_kv(
         params, xa, n_head, compute_dtype, quantize, layout, bits, impl
     )
@@ -575,10 +585,12 @@ def decoder_forward(
                 # decode steps / small prefills: one-matmul pallas kernel
                 # reads the int KV stream directly (no bf16 materialization)
                 q_rows = (qh_c * scale).reshape(a_, h_heads * t2_, dh_)
-                # experiment flag (read at trace time — set before the
-                # process's first decode): manual-DMA-ring streaming
-                # variant, see ops/cross_decode_stream.py
-                if os.environ.get("WHISPER_AT_TPU_CROSS_DECODE") == "stream":
+                # experiment flag, resolved ONCE at module import (decode
+                # traces are jit-cached by shape, so a mid-process env flip
+                # could never reliably switch kernels — an import-time
+                # constant makes that explicit; A/B in fresh processes):
+                # manual-DMA-ring streaming variant, cross_decode_stream.py
+                if _CROSS_DECODE_IMPL == "stream":
                     from ..ops.cross_decode_stream import (
                         cross_attention_int8_stream as _cross_fn,
                     )

@@ -54,6 +54,14 @@ def pad_ta(ta: int) -> int:
     return -(-ta // LANE) * LANE
 
 
+def _nibbles(p):
+    """Packed int4 bytes -> (low, high) sign-extended int32 nibble planes."""
+    p32 = p.astype(jnp.int32)
+    low = jnp.right_shift(jnp.left_shift(p32, 28), 28)
+    high = jnp.right_shift(p32, 4)
+    return low, high
+
+
 def _unpack4_halves(p, axis):
     """Packed Ta-halves int4 (int8 bytes) -> int8 values, natural Ta order.
 
@@ -62,10 +70,38 @@ def _unpack4_halves(p, axis):
     shifts sign-extend each nibble; concat along `axis` restores natural
     order with no lane interleave.
     """
-    p32 = p.astype(jnp.int32)
-    low = jnp.right_shift(jnp.left_shift(p32, 28), 28)
-    high = jnp.right_shift(p32, 4)
+    low, high = _nibbles(p)
     return jnp.concatenate([low, high], axis=axis)
+
+
+def _q_block_diag(q, n_head, d_head, groups):
+    """[HG, Dh] head-major queries -> [HG, H*Dh] block-diagonal matrix, so
+    the per-head QK^T matvecs become ONE MXU matmul against [H*Dh, Ta]."""
+    hg, hd = n_head * groups, n_head * d_head
+    q_tiled = pltpu.repeat(q, n_head, axis=1)
+    col_head = jax.lax.broadcasted_iota(jnp.int32, (hg, hd), 1) // d_head
+    row_head = jax.lax.broadcasted_iota(jnp.int32, (hg, hd), 0) // groups
+    return jnp.where(col_head == row_head, q_tiled, 0).astype(q.dtype)
+
+
+def _fold_head_rows(x, n_head, groups):
+    """[H, Ta] per-head vector -> [HG, Ta] in head-major query-row order."""
+    if groups == 1:
+        return x
+    ta = x.shape[-1]
+    x = pltpu.repeat(x, groups, axis=0).reshape(groups, n_head, ta)
+    return x.transpose(1, 0, 2).reshape(n_head * groups, ta)
+
+
+def _extract_head_diag(full, n_head, d_head, groups):
+    """[HG, H*Dh] PV product -> [HG, Dh]: row h*G+g keeps block h."""
+    hg = n_head * groups
+    row_h = jax.lax.broadcasted_iota(jnp.int32, (hg, d_head), 0) // groups
+    out = jnp.zeros((hg, d_head), jnp.float32)
+    for h in range(n_head):
+        blk = full[:, h * d_head:(h + 1) * d_head]
+        out = out + jnp.where(row_h == h, blk, 0.0)
+    return out
 
 
 def _kernel(q_ref, kq_ref, ks_ref, vq_ref, vs_ref, bias_ref, out_ref,
@@ -96,10 +132,7 @@ def _kernel(q_ref, kq_ref, ks_ref, vq_ref, vs_ref, bias_ref, out_ref,
 
     # ---- QK^T: one MXU matmul via the block-diagonal head fold ---------- #
     q = q_ref[0]  # [HG, Dh] bf16 (pre-scaled by dh^-0.5)
-    q_tiled = pltpu.repeat(q, n_head, axis=1)  # [HG, H*Dh]
-    col_head = jax.lax.broadcasted_iota(jnp.int32, (hg, hd), 1) // d_head
-    row_head = jax.lax.broadcasted_iota(jnp.int32, (hg, hd), 0) // groups
-    q_diag = jnp.where(col_head == row_head, q_tiled, 0).astype(q.dtype)
+    q_diag = _q_block_diag(q, n_head, d_head, groups)
 
     # bf16 operands accumulate in f32 natively on the MXU (and Mosaic
     # rejects an explicit HIGHEST for them); fp32 operands — the CPU test
@@ -116,10 +149,7 @@ def _kernel(q_ref, kq_ref, ks_ref, vq_ref, vs_ref, bias_ref, out_ref,
     )  # [HG, Ta] fp32
 
     # per-(head, position) K scales; padding masked by the additive bias
-    k_s = ks_ref[0]  # [H, Ta] fp32
-    if groups > 1:
-        k_s = pltpu.repeat(k_s, groups, axis=0).reshape(groups, n_head, ta)
-        k_s = k_s.transpose(1, 0, 2).reshape(hg, ta)
+    k_s = _fold_head_rows(ks_ref[0], n_head, groups)  # [HG, Ta] fp32
     logits = raw * k_s + bias_ref[0][None, :]
 
     # ---- fp32 softmax over the full (in-VMEM) key axis ------------------ #
@@ -128,10 +158,7 @@ def _kernel(q_ref, kq_ref, ks_ref, vq_ref, vs_ref, bias_ref, out_ref,
     p = e / jnp.sum(e, axis=-1, keepdims=True)  # [HG, Ta] fp32
 
     # fold per-position V scales into the weights (decoder.py int8 path)
-    v_s = vs_ref[0]
-    if groups > 1:
-        v_s = pltpu.repeat(v_s, groups, axis=0).reshape(groups, n_head, ta)
-        v_s = v_s.transpose(1, 0, 2).reshape(hg, ta)
+    v_s = _fold_head_rows(vs_ref[0], n_head, groups)
     pw = (p * v_s).astype(q.dtype)  # [HG, Ta] bf16
 
     # ---- PV: one MXU matmul, then extract the block diagonal ------------ #
@@ -142,12 +169,8 @@ def _kernel(q_ref, kq_ref, ks_ref, vq_ref, vs_ref, bias_ref, out_ref,
                        preferred_element_type=f32, precision=prec)
         full = part if full is None else full + part  # [HG, H*Dh]
 
-    row_h = jax.lax.broadcasted_iota(jnp.int32, (hg, d_head), 0) // groups
-    out = jnp.zeros((hg, d_head), f32)
-    for h in range(n_head):
-        blk = full[:, h * d_head:(h + 1) * d_head]
-        out = out + jnp.where(row_h == h, blk, 0.0)
-    out_ref[0] = out.astype(out_ref.dtype)
+    out_ref[0] = _extract_head_diag(full, n_head, d_head, groups).astype(
+        out_ref.dtype)
 
 
 @partial(jax.jit, static_argnames=("n_head", "interpret", "chunk", "bits"))

@@ -38,6 +38,13 @@ try:
 except ImportError:  # pragma: no cover
     HAVE_PALLAS = False
 
+from .cross_decode import (
+    _extract_head_diag,
+    _fold_head_rows,
+    _nibbles,
+    _q_block_diag,
+)
+
 NEG_BIG = -1e30
 _CHUNK = 512   # Ta positions per ring slot
 _NBUF = 4      # outstanding DMA depth
@@ -68,25 +75,15 @@ def _kernel(ks_ref, vs_ref, bias_ref, q_ref, kq_hbm, vq_hbm, out_ref,
         k_dma(s, s).start()
         v_dma(s, s).start()
 
-    # block-diagonal head fold (see cross_decode._kernel)
+    # block-diagonal head fold + scale row folds shared with the shipped
+    # kernel (ops/cross_decode.py) so a fix there cannot silently diverge
     q = q_ref[0]  # [HG, Dh], pre-scaled by dh^-0.5
-    q_tiled = pltpu.repeat(q, n_head, axis=1)
-    col_head = jax.lax.broadcasted_iota(jnp.int32, (hg, hd), 1) // d_head
-    row_head = jax.lax.broadcasted_iota(jnp.int32, (hg, hd), 0) // groups
-    q_diag = jnp.where(col_head == row_head, q_tiled, 0).astype(q.dtype)
+    q_diag = _q_block_diag(q, n_head, d_head, groups)
     prec = (jax.lax.Precision.HIGHEST if q_ref.dtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
 
-    def fold_rows(x):
-        """[H, Ta] per-head vector -> [HG, Ta] row layout (head-major)."""
-        if groups == 1:
-            return x
-        ta = x.shape[-1]
-        x = pltpu.repeat(x, groups, axis=0).reshape(groups, n_head, ta)
-        return x.transpose(1, 0, 2).reshape(hg, ta)
-
-    k_s = fold_rows(ks_ref[0])        # [HG, Ta] f32
-    v_s = fold_rows(vs_ref[0])
+    k_s = _fold_head_rows(ks_ref[0], n_head, groups)   # [HG, Ta] f32
+    v_s = _fold_head_rows(vs_ref[0], n_head, groups)
     bias = bias_ref[0]                # [Ta] f32
 
     def slabs(kc, vc, c):
@@ -96,12 +93,8 @@ def _kernel(ks_ref, vs_ref, bias_ref, q_ref, kq_hbm, vq_hbm, out_ref,
             return [(kc, vc, c * chunk)]
         # int4 Ta-halves: low nibble = position (c*chunk + i), high nibble
         # = position (ta_bytes + c*chunk + i); ta_bytes == Ta_pad // 2
-        k32 = kc.astype(jnp.int32)
-        v32 = vc.astype(jnp.int32)
-        k_lo = jnp.right_shift(jnp.left_shift(k32, 28), 28)
-        k_hi = jnp.right_shift(k32, 4)
-        v_lo = jnp.right_shift(jnp.left_shift(v32, 28), 28)
-        v_hi = jnp.right_shift(v32, 4)
+        k_lo, k_hi = _nibbles(kc)
+        v_lo, v_hi = _nibbles(vc)
         return [(k_lo, v_lo, c * chunk),
                 (k_hi, v_hi, ta_bytes + c * chunk)]
 
@@ -116,11 +109,6 @@ def _kernel(ks_ref, vs_ref, bias_ref, q_ref, kq_hbm, vq_hbm, out_ref,
         v_dma(slot, c).wait()
         kc = kbuf[slot]
         vc = vbuf[slot]
-
-        @pl.when(c + nbuf < n_chunks)
-        def _():
-            k_dma(slot, c + nbuf).start()
-            v_dma(slot, c + nbuf).start()
 
         for k_vals, v_vals, off in slabs(kc, vc, c):
             raw = jnp.dot(q_diag, k_vals.astype(q.dtype),
@@ -138,17 +126,21 @@ def _kernel(ks_ref, vs_ref, bias_ref, q_ref, kq_hbm, vq_hbm, out_ref,
                                         preferred_element_type=f32,
                                         precision=prec)
             m = m_new
+
+        # refill the slot only AFTER its data was consumed by the dots
+        # above — chunk c+nbuf lands in the SAME slot as chunk c, so
+        # starting the copy before the compute would race the MXU reads
+        @pl.when(c + nbuf < n_chunks)
+        def _():
+            k_dma(slot, c + nbuf).start()
+            v_dma(slot, c + nbuf).start()
+
         return m, l, acc
 
     _, l, acc = jax.lax.fori_loop(0, n_chunks, body, (m0, l0, acc0))
     full = acc / l  # [HG, H*Dh]
-
-    row_h = jax.lax.broadcasted_iota(jnp.int32, (hg, d_head), 0) // groups
-    out = jnp.zeros((hg, d_head), f32)
-    for h in range(n_head):
-        blk = full[:, h * d_head:(h + 1) * d_head]
-        out = out + jnp.where(row_h == h, blk, 0.0)
-    out_ref[0] = out.astype(out_ref.dtype)
+    out_ref[0] = _extract_head_diag(full, n_head, d_head, groups).astype(
+        out_ref.dtype)
 
 
 @partial(jax.jit, static_argnames=("n_head", "interpret", "chunk", "nbuf",

@@ -92,7 +92,7 @@ def project_quantize_kv(
     n_head: int,
     ta_valid: int,
     bits: int = 8,
-    block_ta: int = 256,
+    block_ta: int = 128,
     interpret: bool = False,
 ):
     """One layer's cross-KV projection + quantize, fused.
