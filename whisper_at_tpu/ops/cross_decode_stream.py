@@ -25,6 +25,7 @@ models/decoder.py — set it before the first decode of the process).
 Default stays the shipped kernel until an on-chip A/B shows a win.
 """
 
+import os
 from functools import partial
 
 import jax
@@ -46,8 +47,10 @@ from .cross_decode import (
 )
 
 NEG_BIG = -1e30
-_CHUNK = 512   # Ta positions per ring slot
-_NBUF = 4      # outstanding DMA depth
+# ring geometry (import-time env overrides for on-chip sweeps — see
+# tools/profile_cross_stream.py)
+_CHUNK = int(os.environ.get("WHISPER_AT_TPU_STREAM_CHUNK", "512"))
+_NBUF = int(os.environ.get("WHISPER_AT_TPU_STREAM_NBUF", "4"))
 
 
 def _kernel(ks_ref, vs_ref, bias_ref, q_ref, kq_hbm, vq_hbm, out_ref,
