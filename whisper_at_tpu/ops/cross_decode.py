@@ -106,8 +106,6 @@ def _extract_head_diag(full, n_head, d_head, groups):
 
 def _kernel(q_ref, kq_ref, ks_ref, vq_ref, vs_ref, bias_ref, out_ref,
             *, n_head, d_head, groups, chunk, bits):
-    hg = n_head * groups
-    hd = n_head * d_head
     ta = kq_ref.shape[-1] * (2 if bits == 4 else 1)
     f32 = jnp.float32
 
