@@ -116,6 +116,9 @@ def build_parser():
                              "verified on test models)")
     parser.add_argument("--no-self-kv-quant", dest="self_kv_quant",
                         action="store_false")
+    parser.add_argument("--beam", type=int, default=0,
+                        help="beam size for non-preset runs (0 = greedy); "
+                             "the large-beam preset pins its own")
     parser.add_argument("--serving", action="store_true",
                         help="serving-path measurement: many short files "
                              "through transcribe_many (cross-file window "
@@ -176,6 +179,8 @@ def run_measurement(args):
         common["task"] = preset["task"]
     if preset.get("beam"):
         common["beam_size"] = preset["beam"]
+    elif args.beam:
+        common["beam_size"] = args.beam
 
     rng = np.random.default_rng(0)
 
@@ -246,9 +251,12 @@ def run_measurement(args):
     best = min(times)
     rtf = audio_seconds / best
     mode = "serving (many short files)" if args.serving else "batched"
+    beam_tag = (f"beam {common['beam_size']}, " if "beam_size" in common
+                else "")
     return {
         "metric": f"{args.size} {mode} transcribe+tag throughput "
                   f"({args.tokens} tok/30s-window, batch {args.batch}, "
+                  f"{beam_tag}"
                   f"{f'int{args.kv_bits} cross-KV, ' if args.kv_quant else ''}"
                   f"{'int8 weights, ' if args.weight_quant else ''}"
                   f"{'int8 self-KV, ' if args.self_kv_quant else ''}1 chip)",
