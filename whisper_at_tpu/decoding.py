@@ -586,6 +586,43 @@ def beam_sample_loop(
 _PREFILL_BUCKETS = (4, 8, 16, 32, 64, 128, 224, 256)
 
 
+@jax.jit
+def _pack_for_host(*arrays):
+    """Flatten + bitcast int32->f32 + concat, so a result set of mixed
+    int/float arrays becomes ONE device array (bit-exact)."""
+    flats = []
+    for a in arrays:
+        flat = a.reshape(-1)
+        if flat.dtype == jnp.int32:
+            flat = jax.lax.bitcast_convert_type(flat, jnp.float32)
+        elif flat.dtype != jnp.float32:
+            raise TypeError(f"_device_get_packed: unsupported {flat.dtype}")
+        flats.append(flat)
+    return jnp.concatenate(flats)
+
+
+def _device_get_packed(*arrays):
+    """Fetch several device arrays in ONE host round trip.
+
+    On the tunneled TPU every blocking D2H pays the link RTT (~25-30 ms),
+    and sequential np.asarray calls serialize those round trips — the
+    greedy result set is 4 pulls, beam is 7. Packing the flattened
+    (int32 bitcast to f32) arrays into one device-side concatenation makes
+    the whole set a single transfer; the host view()s the bits back.
+    """
+    packed = np.asarray(_pack_for_host(*arrays))
+    out = []
+    pos = 0
+    for a in arrays:
+        n = int(np.prod(a.shape)) if a.ndim else 1
+        seg = packed[pos:pos + n]
+        if a.dtype == jnp.int32:
+            seg = seg.view(np.int32)
+        out.append(seg.reshape(a.shape))
+        pos += n
+    return out
+
+
 def _prefill_bucket(n: int) -> int:
     for b in _PREFILL_BUCKETS:
         if n <= b:
@@ -835,9 +872,9 @@ class DecodingTask:
             self_kv_quant=self.options.self_kv_quant,
         )
 
-        buf_out = np.asarray(buf_out)
-        sum_lp = np.asarray(sum_lp)
-        no_speech_probs = np.asarray(no_speech_probs)[::n_group]
+        buf_out, sum_lp, no_speech_probs, n_steps = _device_get_packed(
+            buf_out, sum_lp, no_speech_probs, n_steps)
+        no_speech_probs = no_speech_probs[::n_group]
         n_steps = int(n_steps)
 
         # slice each row's sampled region up to (excluding) the first EOT
@@ -921,12 +958,10 @@ class DecodingTask:
                 self_kv_quant=self.options.self_kv_quant,
             )
         )
-        fin_tokens = np.asarray(fin_tokens)
-        fin_scores = np.asarray(fin_scores)
-        fin_count = np.asarray(fin_count)
-        beams = np.asarray(beams)
-        beam_lp = np.asarray(beam_lp)
-        no_speech_probs = np.asarray(nsp)[::beam_size]
+        (fin_tokens, fin_scores, fin_count, beams, beam_lp,
+         no_speech_probs, n_steps) = _device_get_packed(
+            fin_tokens, fin_scores, fin_count, beams, beam_lp, nsp, n_steps)
+        no_speech_probs = no_speech_probs[::beam_size]
         n_steps = int(n_steps)
         eot = tokenizer.eot
 
