@@ -545,3 +545,21 @@ def test_kv_precompute_kernel_decode_token_parity(model, mel, monkeypatch):
     b_k = decode(model, mel[0], DecodingOptions(**base, beam_size=2))
     assert g_x.tokens == g_k.tokens
     assert b_x.tokens == b_k.tokens
+
+
+def test_ranker_zero_length_candidate():
+    """A row whose first sampled token is EOT has length 0; under length
+    norm (length_penalty=None) the ranker must score it -inf — below any
+    non-empty candidate — instead of dividing by zero (hit in the wild on
+    a silent tail window with a random test model)."""
+    from whisper_at_tpu.decoding import MaximumLikelihoodRanker
+
+    ranker = MaximumLikelihoodRanker(length_penalty=None)
+    # group 0: empty-vs-nonempty -> picks the non-empty despite its lower
+    # total logprob; group 1: all empty -> argmax over -inf stays in range
+    tokens = [[[], [5, 6, 7]], [[], []]]
+    sum_logprobs = [[-0.1, -9.0], [-1.0, -2.0]]
+    assert ranker.rank(tokens, sum_logprobs) == [1, 0]
+
+    gnmt = MaximumLikelihoodRanker(length_penalty=0.5)
+    assert gnmt.rank(tokens, sum_logprobs) == [0, 0]  # penalty>0: no crash

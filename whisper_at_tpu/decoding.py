@@ -644,7 +644,11 @@ class MaximumLikelihoodRanker:
                     penalty = length
                 else:
                     penalty = ((5 + length) / 6) ** self.length_penalty
-                result.append(logprob / penalty)
+                # a zero-length sample (EOT at the first sampled step) has
+                # penalty 0 under length norm; rank it below any non-empty
+                # candidate instead of dividing by zero (the reference
+                # crashes here — decoding.py:184-207 — on degenerate rows)
+                result.append(logprob / penalty if penalty != 0 else -np.inf)
             return result
 
         lengths = [[len(t) for t in s] for s in tokens]
