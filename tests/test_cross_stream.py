@@ -1,5 +1,10 @@
 """Parity: manual-DMA-ring streaming cross-attention vs the shipped kernel."""
 
+import json
+import os
+import subprocess
+import sys
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -41,7 +46,8 @@ def _make_inputs(rng, b, n_head, dh, ta, groups, bits):
 
 @pytest.mark.parametrize("bits", [8, 4])
 @pytest.mark.parametrize("groups", [1, 3])
-def test_stream_matches_shipped_kernel(bits, groups):
+@pytest.mark.parametrize("global_ring", [False, True])
+def test_stream_matches_shipped_kernel(bits, groups, global_ring):
     rng = np.random.default_rng(5)
     b, n_head, dh, ta = 2, 4, 8, 200
     args = _make_inputs(rng, b, n_head, dh, ta, groups, bits)
@@ -50,9 +56,40 @@ def test_stream_matches_shipped_kernel(bits, groups):
     for chunk, nbuf in ((64, 2), (64, 4), (128, 8)):
         got = cross_attention_int8_stream(
             *args, n_head=n_head, interpret=True, chunk=chunk, nbuf=nbuf,
-            bits=bits)
+            bits=bits, global_ring=global_ring)
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_stream_full_decode_token_parity():
+    """decode() tokens (greedy + beam) must be identical under the shipped
+    kernel and both stream-kernel ring modes. The kernel choice is an
+    import-time env constant (decode traces are jit-cached by shape), so
+    each variant runs in a fresh subprocess on the same fixed model/mel."""
+    worker = os.path.join(os.path.dirname(__file__),
+                          "stream_decode_worker.py")
+    variants = {
+        "shipped": {},
+        "stream": {"WHISPER_AT_TPU_CROSS_DECODE": "stream",
+                   "WHISPER_AT_TPU_STREAM_NBUF": "4",
+                   "WHISPER_AT_TPU_STREAM_CHUNK": "512"},
+        "stream-global": {"WHISPER_AT_TPU_CROSS_DECODE": "stream",
+                          "WHISPER_AT_TPU_STREAM_NBUF": "4",
+                          "WHISPER_AT_TPU_STREAM_CHUNK": "512",
+                          "WHISPER_AT_TPU_STREAM_GLOBAL": "1"},
+    }
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tokens = {}
+    for name, overlay in variants.items():
+        env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=repo,
+                   **overlay)
+        proc = subprocess.run(
+            [sys.executable, worker], capture_output=True, text=True,
+            env=env, timeout=900, cwd=repo)
+        assert proc.returncode == 0, f"{name}: {proc.stderr[-800:]}"
+        tokens[name] = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert tokens["stream"] == tokens["shipped"]
+    assert tokens["stream-global"] == tokens["shipped"]
 
 
 def test_stream_chunk_not_dividing_ta_pad():

@@ -53,14 +53,22 @@ def main():
     args = ap.parse_args()
 
     configs = [("shipped", {})]
-    grid = [(4, 512)] if args.quick else [(2, 512), (4, 512), (8, 256),
-                                          (4, 1536), (8, 512)]
-    for nbuf, chunk in grid:
+    # (nbuf, chunk, global_ring): the global ring keeps its DMA depth
+    # across batch elements — at Ta_pad=1536/chunk=512 a per-element ring
+    # only ever has 3 chunks in flight, so the global variants are the
+    # ones expected to show a queue-depth effect
+    grid = ([(4, 512, True)] if args.quick
+            else [(2, 512, False), (4, 512, False), (8, 256, False),
+                  (4, 1536, False), (8, 512, False),
+                  (4, 512, True), (8, 512, True), (8, 256, True),
+                  (16, 128, True)])
+    for nbuf, chunk, global_ring in grid:
         configs.append((
-            f"stream n{nbuf} c{chunk}",
+            f"stream n{nbuf} c{chunk}{' G' if global_ring else ''}",
             {"WHISPER_AT_TPU_CROSS_DECODE": "stream",
              "WHISPER_AT_TPU_STREAM_NBUF": str(nbuf),
-             "WHISPER_AT_TPU_STREAM_CHUNK": str(chunk)},
+             "WHISPER_AT_TPU_STREAM_CHUNK": str(chunk),
+             "WHISPER_AT_TPU_STREAM_GLOBAL": "1" if global_ring else "0"},
         ))
 
     base = None

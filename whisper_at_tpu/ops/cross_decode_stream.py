@@ -20,6 +20,15 @@ Ta/2+j in one byte, so each DMA'd byte chunk carries TWO disjoint position
 ranges; online softmax is order-free, so the kernel simply processes both
 slabs per chunk (their scales/bias slices live fully in VMEM).
 
+Ring scope: by default each grid step (= one batch element) runs its own
+ring, which at bench geometry (Ta_pad=1536, chunk=512 -> 3 chunks/element)
+can never sustain more than 3 outstanding copies before draining at the
+grid boundary. WHISPER_AT_TPU_STREAM_GLOBAL=1 switches to ONE persistent
+ring over all (batch x chunk) DMAs: scratch buffers and DMA semaphores
+persist across sequential ("arbitrary") grid steps, so refills issued near
+an element's tail target the next element's chunks and the ring holds its
+depth for the whole kernel.
+
 Selection: WHISPER_AT_TPU_CROSS_DECODE=stream (read at trace time in
 models/decoder.py — set it before the first decode of the process).
 Default stays the shipped kernel until an on-chip A/B shows a win.
@@ -51,32 +60,53 @@ NEG_BIG = -1e30
 # tools/profile_cross_stream.py)
 _CHUNK = int(os.environ.get("WHISPER_AT_TPU_STREAM_CHUNK", "512"))
 _NBUF = int(os.environ.get("WHISPER_AT_TPU_STREAM_NBUF", "4"))
+# one persistent ring across ALL (batch x chunk) DMAs instead of a ring
+# per grid step: at bench geometry (Ta_pad=1536, chunk=512) each batch
+# element has only 3 chunks, so a per-step ring drains at every grid
+# boundary and never sustains its depth — the global ring issues the next
+# element's copies while this element's tail chunks are still computing
+_GLOBAL = os.environ.get("WHISPER_AT_TPU_STREAM_GLOBAL", "0") == "1"
 
 
 def _kernel(ks_ref, vs_ref, bias_ref, q_ref, kq_hbm, vq_hbm, out_ref,
             kbuf, vbuf, ksem, vsem,
-            *, n_head, d_head, groups, chunk, nbuf, bits):
+            *, n_head, d_head, groups, chunk, nbuf, bits, global_ring):
     hg = n_head * groups
     hd = n_head * d_head
     f32 = jnp.float32
     b = pl.program_id(0)
+    n_batch = pl.num_programs(0)
     # bytes per slot along Ta (int4 packs two positions per byte)
     ta_bytes = kq_hbm.shape[-1]
     n_chunks = ta_bytes // chunk
+    # global chunk ids: grid step b covers [b*n_chunks, (b+1)*n_chunks);
+    # in global_ring mode slots/semaphores persist across grid steps
+    # (dimension_semantics "arbitrary" executes the grid sequentially on
+    # one core with one scratch allocation), so a refill issued here may
+    # target a later grid step's chunk
+    total_chunks = n_batch * n_chunks if global_ring else n_chunks
 
-    def k_dma(slot, c):
+    def k_dma(slot, g):
+        bb, cc = (g // n_chunks, g % n_chunks) if global_ring else (b, g)
         return pltpu.make_async_copy(
-            kq_hbm.at[b, :, pl.ds(c * chunk, chunk)],
+            kq_hbm.at[bb, :, pl.ds(cc * chunk, chunk)],
             kbuf.at[slot], ksem.at[slot])
 
-    def v_dma(slot, c):
+    def v_dma(slot, g):
+        bb, cc = (g // n_chunks, g % n_chunks) if global_ring else (b, g)
         return pltpu.make_async_copy(
-            vq_hbm.at[b, pl.ds(c * chunk, chunk), :],
+            vq_hbm.at[bb, pl.ds(cc * chunk, chunk), :],
             vbuf.at[slot], vsem.at[slot])
 
-    for s in range(min(nbuf, n_chunks)):
-        k_dma(s, s).start()
-        v_dma(s, s).start()
+    def initial_fill():
+        for s in range(min(nbuf, total_chunks)):
+            k_dma(s, s).start()
+            v_dma(s, s).start()
+
+    if global_ring:
+        pl.when(b == 0)(initial_fill)
+    else:
+        initial_fill()
 
     # block-diagonal head fold + scale row folds shared with the shipped
     # kernel (ops/cross_decode.py) so a fix there cannot silently diverge
@@ -107,9 +137,10 @@ def _kernel(ks_ref, vs_ref, bias_ref, q_ref, kq_hbm, vq_hbm, out_ref,
 
     def body(c, carry):
         m, l, acc = carry
-        slot = jax.lax.rem(c, nbuf)
-        k_dma(slot, c).wait()
-        v_dma(slot, c).wait()
+        g = b * n_chunks + c if global_ring else c
+        slot = jax.lax.rem(g, nbuf)
+        k_dma(slot, g).wait()
+        v_dma(slot, g).wait()
         kc = kbuf[slot]
         vc = vbuf[slot]
 
@@ -131,12 +162,12 @@ def _kernel(ks_ref, vs_ref, bias_ref, q_ref, kq_hbm, vq_hbm, out_ref,
             m = m_new
 
         # refill the slot only AFTER its data was consumed by the dots
-        # above — chunk c+nbuf lands in the SAME slot as chunk c, so
+        # above — chunk g+nbuf lands in the SAME slot as chunk g, so
         # starting the copy before the compute would race the MXU reads
-        @pl.when(c + nbuf < n_chunks)
+        @pl.when(g + nbuf < total_chunks)
         def _():
-            k_dma(slot, c + nbuf).start()
-            v_dma(slot, c + nbuf).start()
+            k_dma(slot, g + nbuf).start()
+            v_dma(slot, g + nbuf).start()
 
         return m, l, acc
 
@@ -147,7 +178,7 @@ def _kernel(ks_ref, vs_ref, bias_ref, q_ref, kq_hbm, vq_hbm, out_ref,
 
 
 @partial(jax.jit, static_argnames=("n_head", "interpret", "chunk", "nbuf",
-                                   "bits"))
+                                   "bits", "global_ring"))
 def cross_attention_int8_stream(
     q: jnp.ndarray,     # [B, H*G, Dh] bf16/f32, ALREADY scaled by dh**-0.5
     k_q: jnp.ndarray,   # [B, H*Dh, Ta_pad] int8 (bits=4: [B, H*Dh, Ta_pad/2])
@@ -160,6 +191,7 @@ def cross_attention_int8_stream(
     chunk: int = None,
     nbuf: int = None,
     bits: int = 8,
+    global_ring: bool = None,
 ) -> jnp.ndarray:
     """Same contract as cross_decode.cross_attention_int8 (online softmax)."""
     b, hg, dh = q.shape
@@ -173,8 +205,11 @@ def cross_attention_int8_stream(
         chunk //= 2
     if nbuf is None:
         nbuf = _NBUF
+    if global_ring is None:
+        global_ring = _GLOBAL
     kernel = partial(_kernel, n_head=n_head, d_head=dh, groups=groups,
-                     chunk=chunk, nbuf=nbuf, bits=bits)
+                     chunk=chunk, nbuf=nbuf, bits=bits,
+                     global_ring=global_ring)
     compiler_params = None
     if not interpret:
         compiler_params = pltpu.CompilerParams(
