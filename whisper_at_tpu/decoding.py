@@ -588,14 +588,21 @@ _PREFILL_BUCKETS = (4, 8, 16, 32, 64, 128, 224, 256)
 
 @jax.jit
 def _pack_for_host(*arrays):
-    """Flatten + bitcast int32->f32 + concat, so a result set of mixed
-    int/float arrays becomes ONE device array (bit-exact)."""
+    """Flatten + bitcast f32->int32 + concat, so a result set of mixed
+    int/float arrays becomes ONE device array (bit-exact).
+
+    The carrier dtype is int32, NOT f32: int32 token ids bitcast to f32
+    are denormals (any id < 2**23 has a zero exponent), and float-typed
+    values can be flushed or canonicalized by resharding/broadcast passes
+    — measured on the virtual CPU mesh, where an f32-carried scalar came
+    back 0 and silently emptied every dp-sharded transcription. Integer
+    lanes are never canonicalized, so f32 payloads ride int32 safely."""
     flats = []
     for a in arrays:
         flat = a.reshape(-1)
-        if flat.dtype == jnp.int32:
-            flat = jax.lax.bitcast_convert_type(flat, jnp.float32)
-        elif flat.dtype != jnp.float32:
+        if flat.dtype == jnp.float32:
+            flat = jax.lax.bitcast_convert_type(flat, jnp.int32)
+        elif flat.dtype != jnp.int32:
             raise TypeError(f"_device_get_packed: unsupported {flat.dtype}")
         flats.append(flat)
     return jnp.concatenate(flats)
@@ -607,7 +614,7 @@ def _device_get_packed(*arrays):
     On the tunneled TPU every blocking D2H pays the link RTT (~25-30 ms),
     and sequential np.asarray calls serialize those round trips — the
     greedy result set is 4 pulls, beam is 7. Packing the flattened
-    (int32 bitcast to f32) arrays into one device-side concatenation makes
+    (f32 bitcast to int32) arrays into one device-side concatenation makes
     the whole set a single transfer; the host view()s the bits back.
     """
     packed = np.asarray(_pack_for_host(*arrays))
@@ -616,8 +623,8 @@ def _device_get_packed(*arrays):
     for a in arrays:
         n = int(np.prod(a.shape)) if a.ndim else 1
         seg = packed[pos:pos + n]
-        if a.dtype == jnp.int32:
-            seg = seg.view(np.int32)
+        if a.dtype != jnp.int32:
+            seg = seg.view(np.float32)
         out.append(seg.reshape(a.shape))
         pos += n
     return out
