@@ -382,7 +382,12 @@ def build_attempt_plan(args):
     ladder = [b for b in HEADLINE_LADDER if b <= args.batch] or [args.batch]
     if args.batch not in HEADLINE_LADDER:
         ladder = [args.batch] + list(ladder)
-    return ladder, ["--size", args.size]
+    mode = ["--size", args.size]
+    if args.beam:
+        # headline-only: presets pin their own beam, so --beam must not
+        # ride passthrough_flags into the preset sweep
+        mode += ["--beam", str(args.beam)]
+    return ladder, mode
 
 
 def orchestrate(args):
@@ -546,9 +551,12 @@ def orchestrate(args):
     # delta is auditable from the driver's artifact
     remaining = deadline - time.time()
     if remaining >= 180 and args.kv_bits == 8:
+        # base_flags carries the user's precision/quant flags (and the
+        # kv_bits==8 guard keeps it free of --kv-bits), so this run differs
+        # from the headline ONLY in kv_bits and the delta is attributable
         r, err = run_worker(
-            ["--size", args.size, "--tokens", str(args.tokens), "--iters",
-             str(args.iters), "--batch", str(args.batch), "--kv-bits", "4"],
+            ["--size", args.size, "--batch", str(args.batch),
+             "--kv-bits", "4"] + base_flags,
             timeout=min(900, remaining - 30))
         sweep["headline-int4-optin"] = (r if r is not None
                                         else {"error": err[-500:]})

@@ -88,3 +88,16 @@ def test_failure_path_emits_valid_json_rc0():
     assert rec["degraded"] is True
     assert rec["unit"] == "audio-sec/sec"
     assert {"metric", "value", "vs_baseline"} <= set(rec)
+
+
+def test_beam_flag_reaches_headline_worker_only(bench):
+    """--beam must ride the headline mode flags (the worker subprocess
+    otherwise silently measures greedy), but must NOT ride
+    passthrough_flags into the preset sweep — presets pin their own beam."""
+    args = _args(bench, ["--beam", "5"])
+    _, mode = bench.build_attempt_plan(args)
+    assert "--beam" in mode and mode[mode.index("--beam") + 1] == "5"
+    assert "--beam" not in bench.passthrough_flags(args)
+
+    _, mode_default = bench.build_attempt_plan(_args(bench, []))
+    assert "--beam" not in mode_default

@@ -17,6 +17,7 @@ Usage:  nohup python tools/onchip_runbook.py > /tmp/runbook.log 2>&1 &
 Logs:   /tmp/onchip/<step>.log, progress lines to stdout.
 """
 
+import importlib.util
 import os
 import subprocess
 import sys
@@ -25,15 +26,14 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LOGDIR = "/tmp/onchip"
 
-HEALTH_CODE = """
-import time, numpy as np, jax, jax.numpy as jnp
-x = jnp.ones((1000, 1000), jnp.bfloat16)
-f = jax.jit(lambda a: a @ a)
-r = f(x); _ = np.asarray(r[:1, :1])
-t0 = time.perf_counter()
-r = f(x); _ = np.asarray(r[:1, :1])
-print("PROBE_S", time.perf_counter() - t0)
-"""
+# share bench.py's probe (same subprocess matmul, plus the persistent
+# compilation-cache setup — without the cache every poll pays a fresh XLA
+# compile, and a compile-service-only slump reads as a wedged chip here
+# while bench's cached probe passes)
+_spec = importlib.util.spec_from_file_location(
+    "bench", os.path.join(REPO, "bench.py"))
+_bench = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_bench)
 
 
 def log(msg):
@@ -41,16 +41,7 @@ def log(msg):
 
 
 def probe(timeout=150):
-    try:
-        p = subprocess.run([sys.executable, "-c", HEALTH_CODE],
-                           capture_output=True, text=True, timeout=timeout,
-                           cwd=REPO)
-    except subprocess.TimeoutExpired:
-        return None
-    for line in p.stdout.splitlines():
-        if line.startswith("PROBE_S"):
-            return float(line.split()[1])
-    return None
+    return _bench.probe_health(timeout=timeout)
 
 
 def wait_for_chip(poll_s=240, healthy_s=5.0, max_wait_h=24):

@@ -207,15 +207,13 @@ def cross_kv_payload(x) -> jnp.ndarray:
 
 
 def _unpack4_halves_xla(p: jnp.ndarray, axis: int) -> jnp.ndarray:
-    """XLA-side unpack of the fused layout's Ta-halves nibble packing.
+    """XLA-side unpack of the fused layout's Ta-halves nibble packing for
+    the wide-prefill einsum branch — the same shared nibble helper the
+    pallas kernels use (ops/cross_decode), so a packing-convention change
+    there cannot diverge from this branch."""
+    from ..ops.cross_decode import _unpack4_halves
 
-    Mirrors ops/cross_decode._unpack4_halves for the wide-prefill einsum
-    branch: byte j holds position j (low nibble) and position n+j (high
-    nibble) along `axis`."""
-    p32 = p.astype(jnp.int32)
-    low = jnp.right_shift(jnp.left_shift(p32, 28), 28)
-    high = jnp.right_shift(p32, 4)
-    return jnp.concatenate([low, high], axis=axis).astype(jnp.int8)
+    return _unpack4_halves(p, axis).astype(jnp.int8)
 
 
 def _unpack_q(d: dict) -> jnp.ndarray:

@@ -208,7 +208,20 @@ class Whisper:
                                           kv_cache=cache)   # prompt
             logits = model.decoder_logits(next_token, audio_features,
                                           kv_cache=cache)   # one step
+
+        Passing an existing `KVCacheSession` returns it unchanged (the
+        reference seeds its hook cache from the passed dict); a reference-
+        style tensor dict cannot be adopted and raises instead of being
+        silently discarded.
         """
+        if cache is not None:
+            if isinstance(cache, KVCacheSession):
+                return cache, []
+            raise TypeError(
+                "install_kv_cache_hooks can only resume a KVCacheSession "
+                "from this framework; reference-style tensor dicts are not "
+                "adoptable (the cache layout is functional, not hooked)"
+            )
         return KVCacheSession(self), []
 
     def decoder_logits(self, tokens, audio_features, kv_cache=None,

@@ -285,17 +285,12 @@ def train(
         pending = None
 
         def _commit(p):
-            loss_v = float(p[0])
-            b_, data_t_, dnn_start_, iter_start_ = p[1:]
-            now = time.time()
-            loss_meter.update(loss_v, b_)
-            per_sample_data_time.update(data_t_ / b_)
-            per_sample_dnn_time.update((now - dnn_start_) / b_)
-            per_sample_time.update((now - iter_start_) / b_)
+            # only the LOSS is one step delayed; timing meters are exact
+            # per-iteration intervals measured at each body's end below
+            loss_meter.update(float(p[0]), p[1])
 
         for i, (feats, labels) in enumerate(train_loader):
             data_t = time.time() - end_time
-            dnn_start = time.time()
             params, opt_state, loss = train_step(
                 params, opt_state, _prepare(feats), _prepare(labels),
                 jnp.float32(scheduler.scale),
@@ -303,7 +298,16 @@ def train(
             b = feats.shape[0]
             if pending is not None:
                 _commit(pending)
-            pending = (loss, b, data_t, dnn_start, end_time)
+            pending = (loss, b)
+            # each iteration's meters cover exactly its own wall interval
+            # [end of body i-1, end of body i]: its data load, dispatch,
+            # and the (amortized, steady-state) previous-loss fetch — never
+            # the NEXT step's data load, which the delayed-commit variant
+            # of this accounting used to absorb into "dnn time"
+            body_end = time.time()
+            per_sample_data_time.update(data_t / b)
+            per_sample_time.update((body_end - end_time) / b)
+            per_sample_dnn_time.update((body_end - end_time - data_t) / b)
 
             if global_step % n_print_steps == 0 and global_step != 0:
                 print(

@@ -380,7 +380,7 @@ def transcribe_batched(
     gate = QualityGate(compression_ratio_threshold, logprob_threshold,
                        no_speech_threshold)
     language = _resolve_language(
-        model, pad_or_trim(mel_device, N_FRAMES), decode_options
+        model, pad_or_trim(mel_device, N_FRAMES), decode_options, verbose
     )
     task = decode_options.get("task", "transcribe")
     tokenizer = get_tokenizer(model.is_multilingual, language=language,
@@ -590,6 +590,9 @@ def transcribe_many(
             _, probs = _detect(model, first)
             for f, p in zip(chunk, probs):
                 f["language"] = max(p, key=p.get)
+                if verbose is not None:
+                    print("Detected language: "
+                          f"{LANGUAGES[f['language']].title()}")
 
     if mesh is not None:
         from .parallel.inference import place_model_on_mesh
