@@ -7,7 +7,7 @@ Drop-in public API parity with the reference `whisper_at` package
 """
 
 import os
-import urllib
+import urllib.request
 from typing import List, Optional, Union
 
 import jax.numpy as jnp

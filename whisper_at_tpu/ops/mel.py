@@ -192,6 +192,30 @@ def prefetch_stft_input(audio, padding: int = 0) -> PrefetchedAudio:
     return PrefetchedAudio(jax.device_put(sig), n_frames, padding)
 
 
+@jax.jit
+def mel_windows_many(sigs: jnp.ndarray, n_valid: jnp.ndarray) -> jax.Array:
+    """Batched mel -> 30 s decode windows for same-bucket prepped signals.
+
+    sigs: [N, (bucket+2)*HOP_LENGTH] `_stft_host_prep`-prepared signals
+    sharing one bucketed length (and dtype); n_valid: [N] true frame
+    counts. Returns [N, W, 80, N_FRAMES], W = bucket//N_FRAMES - 1 — the
+    padding=N_SAMPLES prep guarantees every file in a bucket yields the
+    same window count, and W*N_FRAMES <= every file's n_valid, so the
+    windows are exactly the per-file path's `pad_or_trim(mel, W*N_FRAMES)`
+    (a pure trim). One compiled program and ONE dispatch per file GROUP
+    replaces the per-file mel/normalize/trim/reshape chain — on a tunneled
+    device each per-file chain costs linkbound dispatches, the dominant
+    serving-path overhead beyond window padding.
+    """
+    bucket = sigs.shape[1] // HOP_LENGTH - 2
+    w = bucket // N_FRAMES - 1
+    n = sigs.shape[0]
+    mels = jax.vmap(lambda s: _mel_power(s, bucket))(sigs)   # [N, F, 80]
+    logs = jax.vmap(_log_normalize)(mels, n_valid)           # [N, F, 80]
+    wins = logs[:, : w * N_FRAMES].reshape(n, w, N_FRAMES, N_MELS)
+    return wins.transpose(0, 1, 3, 2)                        # [N, W, 80, 3000]
+
+
 def log_mel_spectrogram_jax(audio, padding: int = 0,
                             exact: bool = False) -> jax.Array:
     """Compute the log-mel spectrogram of a 16 kHz waveform on device.

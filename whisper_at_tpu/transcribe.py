@@ -564,19 +564,69 @@ def transcribe_many(
 
     needs_detect = (decode_options.get("language") is None
                     and model.is_multilingual)
+    # language is per-call constant on the non-detect path (reference
+    # transcribe.py:100-116 semantics without a mel in hand)
+    fixed_language = (decode_options.get("language")
+                      if model.is_multilingual else
+                      (decode_options.get("language") or "en"))
+
+    # grouped frontend: prep every signal host-side, group by bucketed
+    # length (+ dtype), and run ONE jitted mel->windows program per group
+    # (ops/mel.mel_windows_many) instead of a per-file dispatch chain —
+    # on a tunneled device the per-file chains are the dominant serving
+    # overhead beyond window padding
+    from .audio import load_audio_pcm16
+    from .ops.mel import _stft_host_prep, mel_windows_many
+
     files = []
+    groups = {}
     for audio in audios:
-        mel = log_mel_spectrogram(audio, padding=N_SAMPLES)
-        wins, content_frames = _mel_to_windows(mel)
-        if needs_detect:
-            language = None  # batched detection below
+        if isinstance(audio, PrefetchedAudio):
+            if audio.padding != N_SAMPLES:
+                raise ValueError(
+                    f"PrefetchedAudio was prepared with padding="
+                    f"{audio.padding}; transcribe_many needs {N_SAMPLES}"
+                )
+            sig, n_frames = audio.sig, audio.n_frames
         else:
-            opts = dict(decode_options)
-            language = _resolve_language(model, pad_or_trim(mel, N_FRAMES),
-                                         opts)
-        files.append({"windows": wins, "content": content_frames,
-                      "language": language,
-                      "first": pad_or_trim(mel, N_FRAMES)})
+            if isinstance(audio, str):
+                audio = load_audio_pcm16(audio)
+            sig, n_frames = _stft_host_prep(np.asarray(audio), N_SAMPLES)
+        content_frames = n_frames - N_FRAMES
+        f = {"windows": None, "content": content_frames,
+             "language": None if needs_detect else fixed_language,
+             "first": None, "_raw": audio}
+        if content_frames > 0:
+            key = (sig.shape[0], np.dtype(sig.dtype).name)
+            groups.setdefault(key, []).append((len(files), sig, n_frames))
+        files.append(f)
+
+    for idxs in groups.values():
+        host = [(i, s, nf) for i, s, nf in idxs
+                if not isinstance(s, jax.Array)]
+        dev = [(i, s, nf) for i, s, nf in idxs if isinstance(s, jax.Array)]
+        parts, order = [], []
+        if host:
+            parts.append(jnp.asarray(np.stack([s for _, s, _ in host])))
+            order += host
+        if dev:
+            parts.append(jnp.stack([s for _, s, _ in dev]))
+            order += dev
+        sigs = parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
+        n_valid = jnp.asarray([nf for _, _, nf in order], jnp.int32)
+        wins = mel_windows_many(sigs, n_valid)   # [N, W, 80, N_FRAMES]
+        for row, (i, _, _) in enumerate(order):
+            files[i]["windows"] = wins[row]
+            files[i]["first"] = wins[row, 0]
+
+    if needs_detect:
+        # zero-content files never reach the grouped mel, but detection
+        # still needs their (all-padding) first window for exact parity
+        # with the per-file path
+        for f in files:
+            if f["first"] is None:
+                mel = log_mel_spectrogram(f["_raw"], padding=N_SAMPLES)
+                f["first"] = pad_or_trim(mel, N_FRAMES)
 
     if needs_detect:
         # ONE batched language-id pass over every file's first window —
