@@ -437,6 +437,43 @@ def test_transcribe_many_prefetched_matches_raw(model):
         np.testing.assert_array_equal(got["audio_tag"], want["audio_tag"])
 
 
+def test_prefetch_audio_many_matches_sequential(model, tmp_path):
+    """The threaded serving helper must return PrefetchedAudio objects in
+    input order, equivalent to sequential prefetch_audio calls — for both
+    waveform and file-path inputs."""
+    import wave
+
+    import whisper_at_tpu as wat
+    from whisper_at_tpu.audio import prefetch_audio, prefetch_audio_many
+
+    rng = np.random.default_rng(31)
+    clip = (0.2 * rng.standard_normal(16000 * 5)).astype(np.float32)
+    path = str(tmp_path / "c.wav")
+    pcm = (np.clip(clip, -1, 1) * 32767).astype(np.int16)
+    with wave.open(path, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(16000)
+        wf.writeframes(pcm.tobytes())
+
+    inputs = [clip, path, (0.1 * rng.standard_normal(16000 * 2))
+              .astype(np.float32)]
+    many = prefetch_audio_many(inputs, workers=3)
+    seq = [prefetch_audio(a) for a in inputs]
+    assert prefetch_audio_many([]) == []
+    for m, s in zip(many, seq):
+        assert m.n_frames == s.n_frames and m.padding == s.padding
+        np.testing.assert_array_equal(np.asarray(m.sig), np.asarray(s.sig))
+
+    kwargs = dict(language="en", fp16=False, temperature=0.0, sample_len=8,
+                  logprob_threshold=None, compression_ratio_threshold=None,
+                  no_speech_threshold=None)
+    got = wat.transcribe_many(model, many, max_batch=4, **kwargs)
+    want = wat.transcribe_many(model, inputs, max_batch=4, **kwargs)
+    for g, w in zip(got, want):
+        assert g["text"] == w["text"]
+
+
 def test_batched_rejects_conditioning_kwarg(model, audio_45s):
     """condition_on_previous_text threads windows sequentially; the batched
     paths must reject True immediately (not crash mid-decode) and accept

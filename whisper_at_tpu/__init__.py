@@ -13,7 +13,13 @@ from typing import List, Optional, Union
 import jax.numpy as jnp
 from tqdm import tqdm
 
-from .audio import load_audio, log_mel_spectrogram, pad_or_trim
+from .audio import (
+    load_audio,
+    log_mel_spectrogram,
+    pad_or_trim,
+    prefetch_audio,
+    prefetch_audio_many,
+)
 from .decoding import DecodingOptions, DecodingResult, decode, detect_language
 from .models.dims import ModelDimensions, dims_for
 from .models.whisper import Whisper, build_model

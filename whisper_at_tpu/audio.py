@@ -50,6 +50,7 @@ __all__ = [
     "log_mel_spectrogram",
     "PrefetchedAudio",
     "prefetch_audio",
+    "prefetch_audio_many",
 ]
 
 
@@ -226,3 +227,26 @@ def prefetch_audio(
     if isinstance(audio, str):
         audio = load_audio_pcm16(audio)
     return prefetch_stft_input(np.asarray(audio), padding=padding)
+
+
+def prefetch_audio_many(
+    audios,
+    padding: int = N_SAMPLES,
+    workers: int = 8,
+) -> list:
+    """Decode + prep + dispatch MANY inputs concurrently (serving helper).
+
+    ffmpeg decode (a subprocess) and the STFT host prep (numpy) both
+    release the GIL, so a thread pool overlaps them across files, and each
+    file's host->device transfer dispatches the moment its prep finishes
+    instead of after every earlier file's. Returns PrefetchedAudio objects
+    in input order — feed them straight to `transcribe_many`:
+
+        results = transcribe_many(model, prefetch_audio_many(paths))
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    if not audios:
+        return []
+    with ThreadPoolExecutor(max_workers=min(workers, len(audios))) as ex:
+        return list(ex.map(lambda a: prefetch_audio(a, padding), audios))
