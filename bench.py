@@ -193,7 +193,7 @@ def run_measurement(args):
         # ships int16 to the device (half the H2D bytes) and dequantizes there
         return (np.clip(a, -1.0, 1.0) * 32767.0).astype(np.int16)
 
-    from whisper_at_tpu.audio import prefetch_audio
+    from whisper_at_tpu.audio import prefetch_audio, prefetch_audio_many
 
     # Steady-state pipelined measurement: iteration i+1's audio transfer is
     # dispatched (async device_put) inside iteration i's timed window, so it
@@ -215,7 +215,9 @@ def run_measurement(args):
         audio_seconds = float(sum(len(f) for f in payloads[0])) / 16000.0
 
         def prefetch(payload):
-            return [prefetch_audio(f) for f in payload]
+            # the documented serving pattern: threaded prep, per-file H2D
+            # dispatched as each prep finishes
+            return prefetch_audio_many(payload)
 
         def pipeline(pre):
             return transcribe_many(model, pre, **common)
