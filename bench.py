@@ -379,8 +379,10 @@ def build_attempt_plan(args):
     if args.config:
         return [None] * 3, ["--config", args.config]  # batch from CONFIGS
     if args.serving:
-        return ([args.batch, args.batch, max(args.batch // 2, 1)],
-                ["--serving", "--size", args.size])
+        mode = ["--serving", "--size", args.size]
+        if args.beam:
+            mode += ["--beam", str(args.beam)]
+        return ([args.batch, args.batch, max(args.batch // 2, 1)], mode)
     ladder = [b for b in HEADLINE_LADDER if b <= args.batch] or [args.batch]
     if args.batch not in HEADLINE_LADDER:
         ladder = [args.batch] + list(ladder)
@@ -553,12 +555,13 @@ def orchestrate(args):
     # delta is auditable from the driver's artifact
     remaining = deadline - time.time()
     if remaining >= 180 and args.kv_bits == 8:
-        # base_flags carries the user's precision/quant flags (and the
-        # kv_bits==8 guard keeps it free of --kv-bits), so this run differs
+        # mode_flags + base_flags reproduce the headline's exact
+        # configuration (size, beam, precision/quant flags; the kv_bits==8
+        # guard keeps base_flags free of --kv-bits), so this run differs
         # from the headline ONLY in kv_bits and the delta is attributable
         r, err = run_worker(
-            ["--size", args.size, "--batch", str(args.batch),
-             "--kv-bits", "4"] + base_flags,
+            list(mode_flags) + ["--batch", str(args.batch),
+                                "--kv-bits", "4"] + base_flags,
             timeout=min(900, remaining - 30))
         sweep["headline-int4-optin"] = (r if r is not None
                                         else {"error": err[-500:]})

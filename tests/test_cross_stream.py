@@ -68,11 +68,17 @@ def test_stream_full_decode_token_parity():
     each variant runs in a fresh subprocess on the same fixed model/mel."""
     worker = os.path.join(os.path.dirname(__file__),
                           "stream_decode_worker.py")
+    # every kernel-selection var is pinned in EVERY variant — an ambient
+    # WHISPER_AT_TPU_CROSS_DECODE=stream (the A/B workflow exports exactly
+    # these) must not leak into the "shipped" baseline and make the
+    # comparison vacuous
     variants = {
-        "shipped": {},
+        "shipped": {"WHISPER_AT_TPU_CROSS_DECODE": "",
+                    "WHISPER_AT_TPU_STREAM_GLOBAL": "0"},
         "stream": {"WHISPER_AT_TPU_CROSS_DECODE": "stream",
                    "WHISPER_AT_TPU_STREAM_NBUF": "4",
-                   "WHISPER_AT_TPU_STREAM_CHUNK": "512"},
+                   "WHISPER_AT_TPU_STREAM_CHUNK": "512",
+                   "WHISPER_AT_TPU_STREAM_GLOBAL": "0"},
         "stream-global": {"WHISPER_AT_TPU_CROSS_DECODE": "stream",
                           "WHISPER_AT_TPU_STREAM_NBUF": "4",
                           "WHISPER_AT_TPU_STREAM_CHUNK": "512",

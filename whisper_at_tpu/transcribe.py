@@ -595,10 +595,17 @@ def transcribe_many(
         content_frames = n_frames - N_FRAMES
         f = {"windows": None, "content": content_frames,
              "language": None if needs_detect else fixed_language,
-             "first": None, "_raw": audio}
+             "first": None}
         if content_frames > 0:
             key = (sig.shape[0], np.dtype(sig.dtype).name)
             groups.setdefault(key, []).append((len(files), sig, n_frames))
+        elif needs_detect:
+            # zero-content files never reach the grouped mel, but detection
+            # still needs their (all-padding) first window for exact parity
+            # with the per-file path; computed eagerly so no raw waveforms
+            # are retained across the decode phase
+            mel = log_mel_spectrogram(audio, padding=N_SAMPLES)
+            f["first"] = pad_or_trim(mel, N_FRAMES)
         files.append(f)
 
     for idxs in groups.values():
@@ -618,15 +625,7 @@ def transcribe_many(
         for row, (i, _, _) in enumerate(order):
             files[i]["windows"] = wins[row]
             files[i]["first"] = wins[row, 0]
-
-    if needs_detect:
-        # zero-content files never reach the grouped mel, but detection
-        # still needs their (all-padding) first window for exact parity
-        # with the per-file path
-        for f in files:
-            if f["first"] is None:
-                mel = log_mel_spectrogram(f["_raw"], padding=N_SAMPLES)
-                f["first"] = pad_or_trim(mel, N_FRAMES)
+    del groups  # release the prepped-signal references (O(total audio))
 
     if needs_detect:
         # ONE batched language-id pass over every file's first window —
@@ -634,6 +633,11 @@ def transcribe_many(
         # (reference transcribe.py:100-116), without a device pass per file
         from .decoding import detect_language as _detect
 
+        if verbose:
+            print(
+                "Detecting language using up to the first 30 seconds. "
+                "Use `--language` to specify the language"
+            )
         for lo in range(0, len(files), max_batch):
             chunk = files[lo:lo + max_batch]
             first = jnp.stack([f["first"] for f in chunk])
