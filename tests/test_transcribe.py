@@ -562,3 +562,73 @@ def test_transcribe_many_word_timestamps_match_batched(model):
             np.testing.assert_allclose(
                 [(w["start"], w["end"]) for w in gs["words"]],
                 [(w["start"], w["end"]) for w in ws["words"]], atol=1e-6)
+
+
+def test_parse_window_fuzz_vs_reference_oracle():
+    """Seeded fuzz: parse_window must reproduce the reference's timestamp
+    slicing (transcribe.py:283-332) for arbitrary token patterns — pairs,
+    lone trailing timestamps, no timestamps, all-timestamp windows, and
+    length-1 windows."""
+    from whisper_at_tpu.segmentation import parse_window
+
+    TSB = 50364  # timestamp_begin
+    input_stride, time_precision = 2, 0.02
+    seg_size, seg_dur, t_off = 3000, 30.0, 60.0
+
+    def oracle(tokens):
+        is_ts = tokens >= TSB
+        single_ending = list(is_ts[-2:]) == [False, True]
+        consecutive = (np.flatnonzero(is_ts[:-1] & is_ts[1:]) + 1).tolist()
+        pieces = []
+        if consecutive:
+            slices = list(consecutive)
+            if single_ending:
+                slices.append(len(tokens))
+            last = 0
+            for cur in slices:
+                st = tokens[last:cur]
+                pieces.append((t_off + (int(st[0]) - TSB) * time_precision,
+                               t_off + (int(st[-1]) - TSB) * time_precision,
+                               list(st)))
+                last = cur
+            if single_ending:
+                adv = seg_size
+            else:
+                adv = (int(tokens[last - 1]) - TSB) * input_stride
+        else:
+            duration = seg_dur
+            ts = tokens[is_ts]
+            if len(ts) > 0 and int(ts[-1]) != TSB:
+                duration = (int(ts[-1]) - TSB) * time_precision
+            pieces.append((t_off, t_off + duration, list(tokens)))
+            adv = seg_size
+        return pieces, adv
+
+    rng = np.random.default_rng(123)
+    cases = []
+    for _ in range(400):
+        n = int(rng.integers(1, 40))
+        # ~40% timestamps so pairs/lone endings appear often
+        toks = np.where(rng.random(n) < 0.4,
+                        rng.integers(TSB, TSB + 1500, n),
+                        rng.integers(300, 50000, n)).astype(np.int64)
+        cases.append(toks)
+    # adversarial shapes the sampler rarely hits
+    cases += [np.array([TSB], np.int64),          # lone <|0.00|>
+              np.array([TSB + 7], np.int64),      # lone nonzero ts
+              np.array([500], np.int64),          # lone text token
+              np.full(6, TSB + 3, np.int64),      # all timestamps
+              np.array([400, TSB], np.int64)]     # text + lone trailing ts
+
+    for toks in cases:
+        want_pieces, want_adv = oracle(toks)
+        got = parse_window(
+            toks, timestamp_begin=TSB, time_offset=t_off,
+            segment_size=seg_size, segment_duration=seg_dur,
+            input_stride=input_stride, time_precision=time_precision,
+        )
+        assert got.advance_frames == want_adv, toks
+        assert len(got.pieces) == len(want_pieces), toks
+        for (gs, ge, gt), (ws, we, wt) in zip(got.pieces, want_pieces):
+            assert abs(gs - ws) < 1e-9 and abs(ge - we) < 1e-9, toks
+            assert list(gt) == wt, toks
