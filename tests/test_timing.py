@@ -214,3 +214,53 @@ def test_flash_decode_cross_matches_reference():
     vs_t = vq["s"][:, :, 0][:, None, :]
     out = flash_decode_cross(q, kq["q"], kq["s"], vq["q"], vs_t, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_merge_punctuations_fuzz_vs_reference_oracle():
+    """Seeded fuzz: the anchor-scan rewrite must match the reference's
+    two-pointer merge (timing.py:258-289) on arbitrary word sequences —
+    chained opening marks, runs of closers, trailing-space blockers."""
+    import copy
+    import random
+
+    PRE = "\"'“¿([{-"
+    APP = "\"'.。,，!！?？:：”)]}、"
+
+    def oracle(alignment):
+        i, j = len(alignment) - 2, len(alignment) - 1
+        while i >= 0:
+            prev, foll = alignment[i], alignment[j]
+            if prev.word.startswith(" ") and prev.word.strip() in PRE:
+                foll.word = prev.word + foll.word
+                foll.tokens = prev.tokens + foll.tokens
+                prev.word, prev.tokens = "", []
+            else:
+                j = i
+            i -= 1
+        i, j = 0, 1
+        while j < len(alignment):
+            prev, foll = alignment[i], alignment[j]
+            if not prev.word.endswith(" ") and foll.word in APP:
+                prev.word = prev.word + foll.word
+                prev.tokens = prev.tokens + foll.tokens
+                foll.word, foll.tokens = "", []
+            else:
+                i = j
+            j += 1
+        return alignment
+
+    rng = random.Random(7)
+    vocab = ([" hello", " world", "foo", " bar ", "baz "]
+             + [" " + c for c in "¿([{-\"'"]   # space-prefixed openers
+             + list(".,!?)]}\"'")              # bare closers
+             + ["(", "-", " .", ". "])         # marks that must NOT merge
+    for _ in range(300):
+        n = rng.randint(1, 12)
+        words = [rng.choice(vocab) for _ in range(n)]
+        base = [WordTiming(w, [k], 0.0, 1.0, 1.0)
+                for k, w in enumerate(words)]
+        got = copy.deepcopy(base)
+        merge_punctuations(got, PRE, APP)
+        want = oracle(copy.deepcopy(base))
+        assert [(w.word, w.tokens) for w in got] == \
+            [(w.word, w.tokens) for w in want], words
