@@ -105,3 +105,101 @@ def test_get_writer_all_writes_every_format(tmp_path):
     write_all(result, "clip.wav", dict(OPTS))
     for ext in ("txt", "vtt", "srt", "tsv", "json"):
         assert (tmp_path / f"clip.{ext}").exists(), ext
+
+
+def test_subtitle_layout_fuzz_vs_reference_oracle():
+    """Seeded fuzz: the staged cue-layout pipeline must reproduce the
+    reference's iterate_subtitles generator (utils.py:102-172) — line
+    continuation/room checks, long-pause breaks, preserve_segments breaks,
+    max_line_count cue splits, strip-on-new-line, and the highlight_words
+    re-emission with gap fillers — over random word streams and options."""
+    import random
+    import re
+
+    def oracle(writer, result, options):
+        raw_w = options["max_line_width"]
+        max_line_count = options["max_line_count"]
+        highlight_words = options["highlight_words"]
+        max_line_width = 1000 if raw_w is None else raw_w
+        preserve_segments = max_line_count is None or raw_w is None
+
+        def iterate_subtitles():
+            line_len = 0
+            line_count = 1
+            subtitle = []
+            last = result["segments"][0]["words"][0]["start"]
+            for segment in result["segments"]:
+                for i, original_timing in enumerate(segment["words"]):
+                    timing = dict(original_timing)
+                    long_pause = (not preserve_segments
+                                  and timing["start"] - last > 3.0)
+                    has_room = line_len + len(timing["word"]) <= max_line_width
+                    seg_break = i == 0 and len(subtitle) > 0 and preserve_segments
+                    if line_len > 0 and has_room and not long_pause \
+                            and not seg_break:
+                        line_len += len(timing["word"])
+                    else:
+                        timing["word"] = timing["word"].strip()
+                        if (len(subtitle) > 0 and max_line_count is not None
+                                and (long_pause or line_count >= max_line_count)
+                                or seg_break):
+                            yield subtitle
+                            subtitle = []
+                            line_count = 1
+                        elif line_len > 0:
+                            line_count += 1
+                            timing["word"] = "\n" + timing["word"]
+                        line_len = len(timing["word"].strip())
+                    subtitle.append(timing)
+                    last = timing["start"]
+            if len(subtitle) > 0:
+                yield subtitle
+
+        for subtitle in iterate_subtitles():
+            sub_start = writer.ts(subtitle[0]["start"])
+            sub_end = writer.ts(subtitle[-1]["end"])
+            sub_text = "".join(w["word"] for w in subtitle)
+            if highlight_words:
+                last = sub_start
+                all_words = [t["word"] for t in subtitle]
+                for i, this_word in enumerate(subtitle):
+                    start = writer.ts(this_word["start"])
+                    end = writer.ts(this_word["end"])
+                    if last != start:
+                        yield last, start, sub_text
+                    yield start, end, "".join(
+                        re.sub(r"^(\s*)(.*)$", r"\1<u>\2</u>", word)
+                        if j == i else word
+                        for j, word in enumerate(all_words))
+                    last = end
+            else:
+                yield sub_start, sub_end, sub_text
+
+    rng = random.Random(11)
+    writer = WriteSRT(".")
+    for _ in range(200):
+        t = 0.0
+        segments = []
+        for _ in range(rng.randint(1, 5)):
+            words = []
+            for _ in range(rng.randint(1, 10)):
+                t += rng.choice([0.1, 0.4, 1.0, 3.5, 4.0])
+                dur = rng.choice([0.2, 0.5, 1.0])
+                words.append({"word": rng.choice(
+                    [" a", " word", " longerword", " punctuation,",
+                     " trailing ", "x"]),
+                    "start": round(t, 2), "end": round(t + dur, 2)})
+                t += dur
+            segments.append({"start": words[0]["start"],
+                             "end": words[-1]["end"],
+                             "text": "".join(w["word"] for w in words),
+                             "words": words})
+        result = {"segments": segments}
+        options = {
+            "max_line_width": rng.choice([None, 6, 12, 25]),
+            "max_line_count": rng.choice([None, 1, 2, 3]),
+            "highlight_words": rng.choice([False, False, True]),
+        }
+        got = list(writer.iterate_result(result, options))
+        want = list(oracle(writer, result, options))
+        assert got == want, (options, segments)
