@@ -98,11 +98,14 @@ def main():
     timed(auto, "auto")
 
     # ---- manual N-deep DMA ring ----------------------------------------- #
+    # ring slots stacked along sublanes of a 2D scratch: a traced leading
+    # index of a 3D ref lowers to a gather Mosaic rejects ("Only 2D gather
+    # is supported"); pl.ds sublane slices are plain dynamic slices
     def manual_kernel(a_hbm, o_ref, buf, sem, *, nbuf):
         def get_dma(slot, chunk):
             return pltpu.make_async_copy(
                 a_hbm.at[pl.ds(chunk * chunk_rows, chunk_rows)],
-                buf.at[slot], sem.at[slot])
+                buf.at[pl.ds(slot * chunk_rows, chunk_rows)], sem.at[slot])
 
         for s in range(min(nbuf, n_chunks)):
             get_dma(s, s).start()
@@ -112,7 +115,8 @@ def main():
             get_dma(slot, i).wait()
             # touch a sliver so the stream has a consumer; the kernel is
             # DMA-bound, this VPU add is noise
-            acc += jnp.sum(buf[slot, : 8 * (1 << 10) // LANES]
+            acc += jnp.sum(buf[pl.ds(slot * chunk_rows,
+                                     8 * (1 << 10) // LANES)]
                            .astype(jnp.int32), axis=0)[None, :128]
 
             @pl.when(i + nbuf < n_chunks)
@@ -134,7 +138,7 @@ def main():
                 out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
                 out_shape=jax.ShapeDtypeStruct((1, 128), jnp.int32),
                 scratch_shapes=[
-                    pltpu.VMEM((nbuf, chunk_rows, LANES), jnp.int8),
+                    pltpu.VMEM((nbuf * chunk_rows, LANES), jnp.int8),
                     pltpu.SemaphoreType.DMA((nbuf,)),
                 ],
                 interpret=interpret,

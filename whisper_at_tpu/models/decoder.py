@@ -318,9 +318,13 @@ def _precompute_cross_kv(
     use_kernel = impl.startswith("kernel")
     if use_kernel:
         b0, ta0, _ = xa.shape
-        # one bf16 row pad shared by every layer's kernel call (the XLA
-        # path instead pads each layer's four quantized artifacts)
-        xa_kernel = jnp.pad(xa, ((0, 0), (0, pad_ta(ta0) - ta0), (0, 0)))
+        # one bf16 pad + transpose shared by every layer's kernel call (the
+        # XLA path instead pads each layer's four quantized artifacts); the
+        # kernel computes in the transposed [B, D, Ta_pad] layout so K and
+        # the scales come back already in the fused decode layout
+        xa_kernel = jnp.pad(
+            xa, ((0, 0), (0, pad_ta(ta0) - ta0), (0, 0))
+        ).transpose(0, 2, 1)
 
     def body(_, block_params):
         ca = block_params["cross_attn"]
@@ -335,10 +339,10 @@ def _precompute_cross_kv(
                     n_head, ta_valid=ta0, bits=bits,
                     interpret=impl == "kernel-interpret",
                 )
-                kf = kq_n.transpose(0, 2, 1)   # int8 [B, D, Ta_pad]
-                ks = ks_n.transpose(0, 2, 1)
-                vf = vq_n                      # int8 [B, Ta_pad, D]
-                vs = vs_n.transpose(0, 2, 1)
+                kf = kq_n                      # int8 [B, D, Ta_pad]
+                ks = ks_n                      # f32  [B, H, Ta_pad]
+                vf = vq_n.transpose(0, 2, 1)   # int8 [B, Ta_pad, D]
+                vs = vs_n
                 if bits == 4:
                     kf = kf.astype(jnp.int4)
                     vf = vf.astype(jnp.int4)

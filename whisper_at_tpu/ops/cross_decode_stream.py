@@ -86,17 +86,22 @@ def _kernel(ks_ref, vs_ref, bias_ref, q_ref, kq_hbm, vq_hbm, out_ref,
     # target a later grid step's chunk
     total_chunks = n_batch * n_chunks if global_ring else n_chunks
 
+    # ring slots live in 2D scratch stacked along sublanes (slot s owns
+    # rows [s*hd, (s+1)*hd) / [s*chunk, (s+1)*chunk)): Mosaic cannot lower
+    # a dynamic leading-dim index of a 3D ref (it becomes an unsupported
+    # gather — the first on-chip compile died there), while a traced
+    # pl.ds sublane slice of a 2D ref is a plain dynamic slice
     def k_dma(slot, g):
         bb, cc = (g // n_chunks, g % n_chunks) if global_ring else (b, g)
         return pltpu.make_async_copy(
             kq_hbm.at[bb, :, pl.ds(cc * chunk, chunk)],
-            kbuf.at[slot], ksem.at[slot])
+            kbuf.at[pl.ds(slot * hd, hd)], ksem.at[slot])
 
     def v_dma(slot, g):
         bb, cc = (g // n_chunks, g % n_chunks) if global_ring else (b, g)
         return pltpu.make_async_copy(
             vq_hbm.at[bb, pl.ds(cc * chunk, chunk), :],
-            vbuf.at[slot], vsem.at[slot])
+            vbuf.at[pl.ds(slot * chunk, chunk)], vsem.at[slot])
 
     def initial_fill():
         for s in range(min(nbuf, total_chunks)):
@@ -141,8 +146,8 @@ def _kernel(ks_ref, vs_ref, bias_ref, q_ref, kq_hbm, vq_hbm, out_ref,
         slot = jax.lax.rem(g, nbuf)
         k_dma(slot, g).wait()
         v_dma(slot, g).wait()
-        kc = kbuf[slot]
-        vc = vbuf[slot]
+        kc = kbuf[pl.ds(slot * hd, hd)]
+        vc = vbuf[pl.ds(slot * chunk, chunk)]
 
         for k_vals, v_vals, off in slabs(kc, vc, c):
             raw = jnp.dot(q_diag, k_vals.astype(q.dtype),
@@ -235,8 +240,8 @@ def cross_attention_int8_stream(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, hg, dh), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((nbuf, hd, chunk), jnp.int8),
-            pltpu.VMEM((nbuf, chunk, hd), jnp.int8),
+            pltpu.VMEM((nbuf * hd, chunk), jnp.int8),
+            pltpu.VMEM((nbuf * chunk, hd), jnp.int8),
             pltpu.SemaphoreType.DMA((nbuf,)),
             pltpu.SemaphoreType.DMA((nbuf,)),
         ],
