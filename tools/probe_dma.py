@@ -26,7 +26,9 @@ import time
 
 sys.path.insert(0, ".")
 
-LANES = 1024  # int8 row width; 8x the 128-lane tile
+LANES = 128  # int8 row width: Mosaic only lowers the ring's dynamic
+# sublane slices (consumer reads at a traced slot offset) on exactly
+# 128-lane vectors — wider rows turn the slice into an unsupported gather
 
 
 def main():

@@ -27,7 +27,9 @@ grid boundary. WHISPER_AT_TPU_STREAM_GLOBAL=1 switches to ONE persistent
 ring over all (batch x chunk) DMAs: scratch buffers and DMA semaphores
 persist across sequential ("arbitrary") grid steps, so refills issued near
 an element's tail target the next element's chunks and the ring holds its
-depth for the whole kernel.
+depth for the whole kernel. In global mode the depth is pinned to
+chunks-per-element (nbuf := Ta_bytes/chunk — sweep `chunk` to sweep depth):
+that keeps every scratch read a static slice, which Mosaic requires here.
 
 Selection: WHISPER_AT_TPU_CROSS_DECODE=stream (read at trace time in
 models/decoder.py — set it before the first decode of the process).
@@ -87,10 +89,12 @@ def _kernel(ks_ref, vs_ref, bias_ref, q_ref, kq_hbm, vq_hbm, out_ref,
     total_chunks = n_batch * n_chunks if global_ring else n_chunks
 
     # ring slots live in 2D scratch stacked along sublanes (slot s owns
-    # rows [s*hd, (s+1)*hd) / [s*chunk, (s+1)*chunk)): Mosaic cannot lower
-    # a dynamic leading-dim index of a 3D ref (it becomes an unsupported
-    # gather — the first on-chip compile died there), while a traced
-    # pl.ds sublane slice of a 2D ref is a plain dynamic slice
+    # rows [s*hd, (s+1)*hd) / [s*chunk, (s+1)*chunk)) and the slot index is
+    # STATIC (the chunk loop is unrolled): Mosaic cannot lower a dynamic
+    # leading-dim index of a 3D ref, and a traced pl.ds sublane slice only
+    # lowers on exactly-128-lane vectors (wider becomes an unsupported
+    # gather) — these buffers are 512/1280 lanes wide, so every consumer
+    # read must be a static slice. DMA offsets may stay traced.
     def k_dma(slot, g):
         bb, cc = (g // n_chunks, g % n_chunks) if global_ring else (b, g)
         return pltpu.make_async_copy(
@@ -143,24 +147,28 @@ def _kernel(ks_ref, vs_ref, bias_ref, q_ref, kq_hbm, vq_hbm, out_ref,
     def body(c, carry):
         m, l, acc = carry
         g = b * n_chunks + c if global_ring else c
-        slot = jax.lax.rem(g, nbuf)
+        # static slot: per-element rings cycle c % nbuf; the global ring
+        # pins nbuf == n_chunks (enforced by the wrapper) so
+        # (b*n_chunks + c) % nbuf == c for every b
+        slot = c if global_ring else c % nbuf
         k_dma(slot, g).wait()
         v_dma(slot, g).wait()
-        kc = kbuf[pl.ds(slot * hd, hd)]
-        vc = vbuf[pl.ds(slot * chunk, chunk)]
+        kc = kbuf[slot * hd:(slot + 1) * hd]
+        vc = vbuf[slot * chunk:(slot + 1) * chunk]
 
         for k_vals, v_vals, off in slabs(kc, vc, c):
             raw = jnp.dot(q_diag, k_vals.astype(q.dtype),
                           preferred_element_type=f32, precision=prec)
             width = raw.shape[-1]
-            logits = (raw * jax.lax.dynamic_slice(k_s, (0, off), (hg, width))
-                      + jax.lax.dynamic_slice(bias, (off,), (width,))[None])
+            # off/width are Python ints (unrolled loop): static slices —
+            # Mosaic has no dynamic_slice lowering in this kernel type
+            logits = (raw * k_s[:, off:off + width]
+                      + bias[off:off + width][None])
             m_new = jnp.maximum(m, jnp.max(logits, axis=-1, keepdims=True))
             alpha = jnp.exp(m - m_new)
             p = jnp.exp(logits - m_new)
             l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-            pw = (p * jax.lax.dynamic_slice(v_s, (0, off), (hg, width))
-                  ).astype(q.dtype)
+            pw = (p * v_s[:, off:off + width]).astype(q.dtype)
             acc = acc * alpha + jnp.dot(pw, v_vals.astype(q.dtype),
                                         preferred_element_type=f32,
                                         precision=prec)
@@ -169,14 +177,24 @@ def _kernel(ks_ref, vs_ref, bias_ref, q_ref, kq_hbm, vq_hbm, out_ref,
         # refill the slot only AFTER its data was consumed by the dots
         # above — chunk g+nbuf lands in the SAME slot as chunk g, so
         # starting the copy before the compute would race the MXU reads
-        @pl.when(g + nbuf < total_chunks)
-        def _():
-            k_dma(slot, g + nbuf).start()
-            v_dma(slot, g + nbuf).start()
+        if global_ring:
+            # traced condition (g depends on the grid step b)
+            @pl.when(g + nbuf < total_chunks)
+            def _():
+                k_dma(slot, g + nbuf).start()
+                v_dma(slot, g + nbuf).start()
+        elif c + nbuf < n_chunks:  # static
+            k_dma(slot, c + nbuf).start()
+            v_dma(slot, c + nbuf).start()
 
         return m, l, acc
 
-    _, l, acc = jax.lax.fori_loop(0, n_chunks, body, (m0, l0, acc0))
+    # unrolled (n_chunks <= ~12) so `slot` is a Python int — see the
+    # static-slot note above
+    carry = (m0, l0, acc0)
+    for c in range(n_chunks):
+        carry = body(c, carry)
+    _, l, acc = carry
     full = acc / l  # [HG, H*Dh]
     out_ref[0] = _extract_head_diag(full, n_head, d_head, groups).astype(
         out_ref.dtype)
@@ -212,6 +230,11 @@ def cross_attention_int8_stream(
         nbuf = _NBUF
     if global_ring is None:
         global_ring = _GLOBAL
+    if global_ring:
+        # the ring depth must equal chunks-per-element so the static slot
+        # assignment slot==c holds across grid steps (see _kernel); depth
+        # is therefore swept via `chunk`, not `nbuf`, in global mode
+        nbuf = k_q.shape[-1] // chunk
     kernel = partial(_kernel, n_head=n_head, d_head=dh, groups=groups,
                      chunk=chunk, nbuf=nbuf, bits=bits,
                      global_ring=global_ring)
