@@ -45,7 +45,9 @@ CONFIGS = {
     "base-10min": dict(size="base", batch=8, tokens=96),
     "small-low": dict(size="small", batch=8, tokens=96, at_low=True),
     "medium-translate": dict(size="medium", batch=8, tokens=96, task="translate"),
-    "large-beam": dict(size="large-v1", batch=4, tokens=96, beam=5),
+    # batch swept on-chip 2026-08-18: 80.4 @ 4, 81.0 @ 6, 96.4 @ 8 audio-s/s
+    # (beams ride the batch dim — 8x5=40 rows amortize weight streaming)
+    "large-beam": dict(size="large-v1", batch=8, tokens=96, beam=5),
 }
 
 RESULT_MARKER = "BENCHRESULT "

@@ -256,19 +256,23 @@ def precompute_cross_kv(
     override participates in the compilation cache key:
 
       WHISPER_AT_TPU_KV_PRECOMPUTE=kernel|xla
-        kernel: ops/kv_quant.py pallas kernel — projects and quantizes
-          each layer's cross-KV in VMEM, never materializing the bf16
-          [B, Ta, D] projection outputs in HBM. Opt-in until its on-chip
-          compile + timing are verified (the shared TPU was unreachable
-          when it landed); parity is pinned by tests on the interpret path.
-        xla (default): the einsum/quantize/pad formulation (always used
-          for the non-fused layouts, where artifacts must be bitwise
+        kernel (default on TPU): ops/kv_quant.py pallas kernel — projects
+          and quantizes each layer's cross-KV in VMEM, never materializing
+          the bf16 [B, Ta, D] projection outputs in HBM. Gate passed
+          on-chip 2026-08-18 (tools/profile_kv_precompute.py): compiles
+          under Mosaic, 1.58x faster than the XLA path at large-v1
+          batch 24 (171 -> 108 ms), artifacts within the int8
+          rounding-boundary budget (bf16 accumulation-order only; decode
+          token parity pinned by tests).
+        xla (default off-TPU): the einsum/quantize/pad formulation (always
+          used for the non-fused layouts, where artifacts must be bitwise
           reproducible against the oracle quantizer).
     """
     impl = "xla"
     if quantize and layout == "fused" and HAVE_KV_KERNEL \
             and "w" in params["blocks"]["cross_attn"]["key"]:
-        impl = os.environ.get("WHISPER_AT_TPU_KV_PRECOMPUTE", "xla")
+        default = "kernel" if jax.default_backend() == "tpu" else "xla"
+        impl = os.environ.get("WHISPER_AT_TPU_KV_PRECOMPUTE", default)
         if impl == "kernel" and jax.default_backend() != "tpu":
             impl = "kernel-interpret"
         if impl == "kernel" and compute_dtype == jnp.float32:

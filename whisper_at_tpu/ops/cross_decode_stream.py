@@ -33,7 +33,16 @@ that keeps every scratch read a static slice, which Mosaic requires here.
 
 Selection: WHISPER_AT_TPU_CROSS_DECODE=stream (read at trace time in
 models/decoder.py — set it before the first decode of the process).
-Default stays the shipped kernel until an on-chip A/B shows a win.
+
+MEASURED NEGATIVE RESULT (on-chip, 2026-08-18, large-v1 batch 24 x 96
+steps): every ring geometry LOSES to the shipped auto-pipelined kernel —
+per-element rings 0.87-0.96x (best: n4 c1536, 10.73 vs 10.33 ms/step),
+global rings 0.75-0.92x (deeper/finer is worse). The isolated probe
+(tools/probe_dma.py) agrees: manual depth 2/4/8 and the auto grid stream
+all measure the SAME bandwidth, so outstanding-DMA depth does not move
+this chip's streaming ceiling and the manual ring only adds semaphore
+overhead. The shipped kernel stays the default; this file is kept as the
+documented experiment.
 """
 
 import os
