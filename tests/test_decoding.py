@@ -532,6 +532,43 @@ def test_kv_precompute_kernel_matches_xla(model, mel, monkeypatch):
                         np.asarray(x["m"]), np.asarray(k["m"]))
 
 
+def test_kv_precompute_impl_selection(model, monkeypatch):
+    """The projection+quantize kernel is the default ONLY on a real TPU
+    backend (gate: tools/profile_kv_precompute.py, 1.58x on-chip); the
+    bitwise-reproducible XLA path everywhere else, for f32 parity mode,
+    and for the non-fused layouts. Env overrides win either way."""
+    from whisper_at_tpu.models import decoder as dec
+
+    captured = {}
+    monkeypatch.setattr(
+        dec, "_precompute_cross_kv",
+        lambda p, xa, nh, cd, quantize, layout, bits, impl:
+            captured.__setitem__("impl", impl))
+    params = model.decoder_params_decode(False)
+    xa = jnp.zeros((1, 8, DIMS.n_text_state), jnp.float32)
+
+    def impl_for(backend, env, **kw):
+        monkeypatch.setattr(dec.jax, "default_backend", lambda: backend)
+        if env is None:
+            monkeypatch.delenv("WHISPER_AT_TPU_KV_PRECOMPUTE",
+                               raising=False)
+        else:
+            monkeypatch.setenv("WHISPER_AT_TPU_KV_PRECOMPUTE", env)
+        kw.setdefault("compute_dtype", jnp.bfloat16)
+        kw.setdefault("quantize", True)
+        kw.setdefault("layout", "fused")
+        dec.precompute_cross_kv(params, xa, DIMS.n_text_head, **kw)
+        return captured["impl"]
+
+    assert impl_for("tpu", None) == "kernel"
+    assert impl_for("tpu", None, compute_dtype=jnp.float32) == "xla"
+    assert impl_for("tpu", "xla") == "xla"
+    assert impl_for("cpu", None) == "xla"
+    assert impl_for("cpu", "kernel") == "kernel-interpret"
+    assert impl_for("tpu", None, layout="heads") == "xla"
+    assert impl_for("tpu", None, quantize=False) == "xla"
+
+
 def test_kv_precompute_kernel_decode_token_parity(model, mel, monkeypatch):
     """Full decode() with the kernel precompute must emit the same tokens
     as the XLA precompute (greedy + beam, int8 fused layout)."""
