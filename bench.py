@@ -125,6 +125,15 @@ def build_parser():
                         help="serving-path measurement: many short files "
                              "through transcribe_many (cross-file window "
                              "packing) instead of one long file")
+    parser.add_argument("--resident", action="store_true",
+                        help="measure with device-resident input (audio "
+                             "transfers forced complete before the timed "
+                             "window): the device-pipeline number a real "
+                             "TPU host sees. On this tunneled chip the H2D "
+                             "serializes against execution (~0.5-0.6 s for "
+                             "the 23 MB batch-24 payload that PCIe moves "
+                             "in ~2 ms), so the default headline carries a "
+                             "tunnel tax the hardware doesn't")
     parser.add_argument("--worker", action="store_true",
                         help="run the measurement in-process and emit a "
                              "marker line (internal; orchestrator default)")
@@ -244,13 +253,30 @@ def run_measurement(args):
     pipeline(warm)
     log(f"warmup (compile) {time.perf_counter() - t0:.1f}s")
 
+    def force_resident(p):
+        sigs = [f.sig for f in p] if isinstance(p, list) else [p.sig]
+        for s in sigs:
+            np.asarray(s[:1])  # data-dependent fetch: transfer complete
+
     times = []
-    for i in range(args.iters):
-        start = time.perf_counter()
-        nxt = prefetch(payloads[i + 2])
-        pipeline(pre)
-        times.append(time.perf_counter() - start)
-        pre = nxt
+    if args.resident:
+        # device-resident measurement: every payload's transfer completes
+        # BEFORE its timed window and no transfer rides inside one — the
+        # pure device+host pipeline, free of the tunnel's serialized H2D
+        pres = [pre] + [prefetch(payloads[i + 2]) for i in range(args.iters - 1)]
+        for p in pres:
+            force_resident(p)
+        for p in pres:
+            start = time.perf_counter()
+            pipeline(p)
+            times.append(time.perf_counter() - start)
+    else:
+        for i in range(args.iters):
+            start = time.perf_counter()
+            nxt = prefetch(payloads[i + 2])
+            pipeline(pre)
+            times.append(time.perf_counter() - start)
+            pre = nxt
 
     best = min(times)
     rtf = audio_seconds / best
@@ -260,6 +286,7 @@ def run_measurement(args):
     return {
         "metric": f"{args.size} {mode} transcribe+tag throughput "
                   f"({args.tokens} tok/30s-window, batch {args.batch}, "
+                  f"{'device-resident input, ' if args.resident else ''}"
                   f"{beam_tag}"
                   f"{f'int{args.kv_bits} cross-KV, ' if args.kv_quant else ''}"
                   f"{'int8 weights, ' if args.weight_quant else ''}"
@@ -393,6 +420,10 @@ def build_attempt_plan(args):
         # headline-only: presets pin their own beam, so --beam must not
         # ride passthrough_flags into the preset sweep
         mode += ["--beam", str(args.beam)]
+    if args.resident:
+        # headline-only for the same reason; the default sweep's
+        # informational resident row adds this itself
+        mode.append("--resident")
     return ladder, mode
 
 
@@ -567,6 +598,21 @@ def orchestrate(args):
             timeout=min(900, remaining - 30))
         sweep["headline-int4-optin"] = (r if r is not None
                                         else {"error": err[-500:]})
+        save()
+
+    # informational: the headline with device-resident input — the number a
+    # real (non-tunneled) TPU host sees. On this environment the H2D
+    # serializes against device execution, taxing the default headline
+    # ~0.5-0.6 s/iteration for a transfer PCIe does in ~2 ms; this row
+    # quantifies that tunnel tax from the driver's artifact.
+    remaining = deadline - time.time()
+    if remaining >= 180 and not args.resident:
+        r, err = run_worker(
+            list(mode_flags) + ["--batch", str(args.batch),
+                                "--resident"] + base_flags,
+            timeout=min(900, remaining - 30))
+        sweep["headline-resident-input"] = (r if r is not None
+                                            else {"error": err[-500:]})
         save()
     return 0
 

@@ -66,6 +66,19 @@ def test_passthrough_flags_roundtrip(bench):
     assert re_args.weight_quant is True  # untouched defaults survive
 
 
+def test_resident_is_headline_only(bench):
+    """--resident must reach the headline worker but never ride
+    passthrough_flags into the preset/serving sweep (presets measure the
+    default pipeline, transfer included)."""
+    args = _args(bench, ["--resident"])
+    _, mode = bench.build_attempt_plan(args)
+    assert "--resident" in mode
+    assert "--resident" not in bench.passthrough_flags(args)
+    _, preset_mode = bench.build_attempt_plan(
+        _args(bench, ["--resident", "--config", "large-beam"]))
+    assert "--resident" not in preset_mode
+
+
 def test_configs_cover_all_baseline_presets(bench):
     assert set(bench.CONFIGS) == {
         "tiny-single", "base-10min", "small-low", "medium-translate",
