@@ -45,9 +45,10 @@ CONFIGS = {
     "base-10min": dict(size="base", batch=8, tokens=96),
     "small-low": dict(size="small", batch=8, tokens=96, at_low=True),
     "medium-translate": dict(size="medium", batch=8, tokens=96, task="translate"),
-    # batch swept on-chip 2026-08-18: 80.4 @ 4, 81.0 @ 6, 96.4 @ 8 audio-s/s
-    # (beams ride the batch dim — 8x5=40 rows amortize weight streaming)
-    "large-beam": dict(size="large-v1", batch=8, tokens=96, beam=5),
+    # batch swept on-chip 2026-08-18: 80 @ 4, 81 @ 6, 90-96 @ 8, 86 @ 12,
+    # 98-100 @ 16, 84 @ 20, 87 @ 24 audio-s/s (beams ride the batch dim;
+    # 16x5=80 decode rows sit closest under the 128-row MXU tile)
+    "large-beam": dict(size="large-v1", batch=16, tokens=96, beam=5),
 }
 
 RESULT_MARKER = "BENCHRESULT "
