@@ -214,7 +214,9 @@ def run_measurement(args):
     # shortcutting repeated payloads. Host audio is pre-generated (bench
     # scaffolding, not pipeline work); the numpy STFT prep + H2D dispatch
     # stay inside the timed window.
-    n_payloads = args.iters + 2
+    # pipelined mode consumes payloads[0..iters+1] (warm + pre + one ahead
+    # per iteration); resident mode only warm + iters measured
+    n_payloads = args.iters + (1 if args.resident else 2)
     if args.serving:
         # many short files (8-25 s) through the cross-file window packer;
         # audio_seconds counts real samples, not padded windows
@@ -412,6 +414,8 @@ def build_attempt_plan(args):
         mode = ["--serving", "--size", args.size]
         if args.beam:
             mode += ["--beam", str(args.beam)]
+        if args.resident:
+            mode.append("--resident")
         return ([args.batch, args.batch, max(args.batch // 2, 1)], mode)
     ladder = [b for b in HEADLINE_LADDER if b <= args.batch] or [args.batch]
     if args.batch not in HEADLINE_LADDER:
@@ -584,37 +588,34 @@ def orchestrate(args):
         sweep["serving"] = r if r is not None else {"error": err[-500:]}
         save()
 
-    # informational: the opt-in int4 cross-KV headline (Ta-halves nibble
-    # packing through the fused kernel — kv_bits=4), so the measured int4
-    # delta is auditable from the driver's artifact
-    remaining = deadline - time.time()
-    if remaining >= 180 and args.kv_bits == 8:
-        # mode_flags + base_flags reproduce the headline's exact
-        # configuration (size, beam, precision/quant flags; the kv_bits==8
-        # guard keeps base_flags free of --kv-bits), so this run differs
-        # from the headline ONLY in kv_bits and the delta is attributable
+    def info_row(key, extra_flags):
+        """One informational headline variant: mode_flags + base_flags
+        reproduce the headline's exact configuration, so the run differs
+        from it ONLY in extra_flags and the delta is attributable."""
+        remaining = deadline - time.time()
+        if remaining < 180:
+            return
         r, err = run_worker(
-            list(mode_flags) + ["--batch", str(args.batch),
-                                "--kv-bits", "4"] + base_flags,
+            list(mode_flags) + ["--batch", str(args.batch)] + extra_flags
+            + base_flags,
             timeout=min(900, remaining - 30))
-        sweep["headline-int4-optin"] = (r if r is not None
-                                        else {"error": err[-500:]})
+        sweep[key] = r if r is not None else {"error": err[-500:]}
         save()
 
-    # informational: the headline with device-resident input — the number a
-    # real (non-tunneled) TPU host sees. On this environment the H2D
-    # serializes against device execution, taxing the default headline
-    # ~0.5-0.6 s/iteration for a transfer PCIe does in ~2 ms; this row
-    # quantifies that tunnel tax from the driver's artifact.
-    remaining = deadline - time.time()
-    if remaining >= 180 and not args.resident:
-        r, err = run_worker(
-            list(mode_flags) + ["--batch", str(args.batch),
-                                "--resident"] + base_flags,
-            timeout=min(900, remaining - 30))
-        sweep["headline-resident-input"] = (r if r is not None
-                                            else {"error": err[-500:]})
-        save()
+    # the opt-in int4 cross-KV headline (Ta-halves nibble packing through
+    # the fused kernel), so the measured int4 delta is auditable from the
+    # driver's artifact (the kv_bits==8 guard keeps base_flags free of
+    # --kv-bits)
+    if args.kv_bits == 8:
+        info_row("headline-int4-optin", ["--kv-bits", "4"])
+
+    # the headline with device-resident input — the number a real
+    # (non-tunneled) TPU host sees. On this environment the H2D serializes
+    # against device execution, taxing the default headline ~0.5-0.6 s per
+    # iteration for a transfer PCIe does in ~2 ms; this row quantifies
+    # that tunnel tax from the driver's artifact.
+    if not args.resident:
+        info_row("headline-resident-input", ["--resident"])
     return 0
 
 

@@ -53,12 +53,28 @@ def test_stream_matches_shipped_kernel(bits, groups, global_ring):
     args = _make_inputs(rng, b, n_head, dh, ta, groups, bits)
     want = cross_attention_int8(*args, n_head=n_head, interpret=True,
                                 bits=bits)
-    for chunk, nbuf in ((64, 2), (64, 4), (128, 8)):
+    # per-element rings sweep depth via nbuf; the global ring pins depth
+    # to chunks-per-element (an explicit conflicting nbuf raises), so its
+    # depth sweep rides the chunk size instead
+    cases = ([(64, None), (128, None), (32, None)] if global_ring
+             else [(64, 2), (64, 4), (128, 8)])
+    for chunk, nbuf in cases:
         got = cross_attention_int8_stream(
             *args, n_head=n_head, interpret=True, chunk=chunk, nbuf=nbuf,
             bits=bits, global_ring=global_ring)
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_stream_global_ring_rejects_conflicting_nbuf():
+    """A global-ring depth request that contradicts the structural pin
+    must raise, not silently measure a different depth than its label."""
+    rng = np.random.default_rng(5)
+    args = _make_inputs(rng, 2, 4, 8, 200, 1, 8)
+    with pytest.raises(ValueError, match="global_ring pins nbuf"):
+        cross_attention_int8_stream(
+            *args, n_head=4, interpret=True, chunk=64, nbuf=2,
+            bits=8, global_ring=True)
 
 
 def test_stream_full_decode_token_parity():
@@ -79,8 +95,10 @@ def test_stream_full_decode_token_parity():
                    "WHISPER_AT_TPU_STREAM_NBUF": "4",
                    "WHISPER_AT_TPU_STREAM_CHUNK": "512",
                    "WHISPER_AT_TPU_STREAM_GLOBAL": "0"},
+        # no NBUF: the global ring derives its depth from the chunk count
+        # (an explicit conflicting value raises by design)
         "stream-global": {"WHISPER_AT_TPU_CROSS_DECODE": "stream",
-                          "WHISPER_AT_TPU_STREAM_NBUF": "4",
+                          "WHISPER_AT_TPU_STREAM_NBUF": "",
                           "WHISPER_AT_TPU_STREAM_CHUNK": "512",
                           "WHISPER_AT_TPU_STREAM_GLOBAL": "1"},
     }

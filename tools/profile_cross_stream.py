@@ -23,6 +23,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def run_one(env_overlay, args):
     env = dict(os.environ, **env_overlay)
+    # an ambient depth override must not leak into rows that don't pin one
+    # (the global rows derive their depth; see ops/cross_decode_stream.py)
+    if "WHISPER_AT_TPU_STREAM_NBUF" not in env_overlay:
+        env.pop("WHISPER_AT_TPU_STREAM_NBUF", None)
     cmd = [sys.executable, os.path.join(REPO, "tools", "profile_decode.py"),
            "--size", args.size, "--batch", str(args.batch),
            "--steps", str(args.steps), "--layout", "fused",
@@ -53,23 +57,30 @@ def main():
     args = ap.parse_args()
 
     configs = [("shipped", {})]
-    # (nbuf, chunk, global_ring): the global ring keeps its DMA depth
-    # across batch elements — at Ta_pad=1536/chunk=512 a per-element ring
-    # only ever has 3 chunks in flight, so the global variants are the
-    # ones expected to show a queue-depth effect
-    grid = ([(4, 512, True)] if args.quick
+    # per-element rings sweep (nbuf, chunk); the global ring pins its depth
+    # to chunks-per-element (the kernel's static-slot requirement — an
+    # explicit conflicting NBUF raises), so global rows sweep depth via
+    # chunk only and are labeled with the DERIVED depth
+    ta_bytes = 1536 // (2 if args.kv_bits == 4 else 1)  # large-v1 Ta_pad
+    grid = ([(4, 512, False)] if args.quick
             else [(2, 512, False), (4, 512, False), (8, 256, False),
-                  (4, 1536, False), (8, 512, False),
-                  (4, 512, True), (8, 512, True), (8, 256, True),
-                  (16, 128, True)])
+                  (4, 1536, False), (8, 512, False)])
     for nbuf, chunk, global_ring in grid:
         configs.append((
-            f"stream n{nbuf} c{chunk}{' G' if global_ring else ''}",
+            f"stream n{nbuf} c{chunk}",
             {"WHISPER_AT_TPU_CROSS_DECODE": "stream",
              "WHISPER_AT_TPU_STREAM_NBUF": str(nbuf),
              "WHISPER_AT_TPU_STREAM_CHUNK": str(chunk),
-             "WHISPER_AT_TPU_STREAM_GLOBAL": "1" if global_ring else "0"},
+             "WHISPER_AT_TPU_STREAM_GLOBAL": "0"},
         ))
+    if not args.quick:
+        for chunk in (512, 256, 128):
+            configs.append((
+                f"stream G c{chunk} d{ta_bytes // chunk}",
+                {"WHISPER_AT_TPU_CROSS_DECODE": "stream",
+                 "WHISPER_AT_TPU_STREAM_CHUNK": str(chunk),
+                 "WHISPER_AT_TPU_STREAM_GLOBAL": "1"},
+            ))
 
     base = None
     for label, overlay in configs:

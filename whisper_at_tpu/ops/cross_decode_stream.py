@@ -37,7 +37,10 @@ models/decoder.py — set it before the first decode of the process).
 MEASURED NEGATIVE RESULT (on-chip, 2026-08-18, large-v1 batch 24 x 96
 steps): every ring geometry LOSES to the shipped auto-pipelined kernel —
 per-element rings 0.87-0.96x (best: n4 c1536, 10.73 vs 10.33 ms/step),
-global rings 0.75-0.92x (deeper/finer is worse). The isolated probe
+global rings 0.75-0.92x. (Global depth is pinned to chunks-per-element,
+so the measured global rows were depth 3 at chunk 512 — twice, 11.17 and
+11.29 ms/step, a clean replicate — depth 6 at 256 = 12.05, and depth 12
+at 128 = 13.86: deeper/finer is strictly worse.) The isolated probe
 (tools/probe_dma.py) agrees: manual depth 2/4/8 and the auto grid stream
 all measure the SAME bandwidth, so outstanding-DMA depth does not move
 this chip's streaming ceiling and the manual ring only adds semaphore
@@ -70,7 +73,8 @@ NEG_BIG = -1e30
 # ring geometry (import-time env overrides for on-chip sweeps — see
 # tools/profile_cross_stream.py)
 _CHUNK = int(os.environ.get("WHISPER_AT_TPU_STREAM_CHUNK", "512"))
-_NBUF = int(os.environ.get("WHISPER_AT_TPU_STREAM_NBUF", "4"))
+_NBUF_ENV = os.environ.get("WHISPER_AT_TPU_STREAM_NBUF")
+_NBUF_DEFAULT = 4  # per-element rings only; the global ring derives depth
 # one persistent ring across ALL (batch x chunk) DMAs instead of a ring
 # per grid step: at bench geometry (Ta_pad=1536, chunk=512) each batch
 # element has only 3 chunks, so a per-step ring drains at every grid
@@ -235,15 +239,25 @@ def cross_attention_int8_stream(
         chunk = _CHUNK
     while k_q.shape[-1] % chunk:
         chunk //= 2
-    if nbuf is None:
-        nbuf = _NBUF
     if global_ring is None:
         global_ring = _GLOBAL
+    requested = nbuf if nbuf is not None else (
+        int(_NBUF_ENV) if _NBUF_ENV else None)
     if global_ring:
         # the ring depth must equal chunks-per-element so the static slot
         # assignment slot==c holds across grid steps (see _kernel); depth
-        # is therefore swept via `chunk`, not `nbuf`, in global mode
-        nbuf = k_q.shape[-1] // chunk
+        # is therefore swept via `chunk`, not `nbuf`, in global mode — a
+        # conflicting explicit request would silently measure a different
+        # depth than its label, so reject it
+        pinned = k_q.shape[-1] // chunk
+        if requested is not None and requested != pinned:
+            raise ValueError(
+                f"global_ring pins nbuf to chunks-per-element "
+                f"({k_q.shape[-1]}//{chunk} = {pinned}); got nbuf="
+                f"{requested}. Sweep depth via `chunk` in global mode.")
+        nbuf = pinned
+    else:
+        nbuf = requested if requested is not None else _NBUF_DEFAULT
     kernel = partial(_kernel, n_head=n_head, d_head=dh, groups=groups,
                      chunk=chunk, nbuf=nbuf, bits=bits,
                      global_ring=global_ring)
