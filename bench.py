@@ -41,7 +41,10 @@ import time
 
 # BASELINE.json config presets (driver configs 1-5)
 CONFIGS = {
-    "tiny-single": dict(size="tiny", batch=1, tokens=48),
+    # a single tiny clip runs ~0.15 s, so per-dispatch tunnel RTT noise
+    # (±50 ms) swings a 2-iteration min() by 30-80% — more iterations
+    # stabilize the capture at negligible cost
+    "tiny-single": dict(size="tiny", batch=1, tokens=48, iters=8),
     "base-10min": dict(size="base", batch=8, tokens=96),
     "small-low": dict(size="small", batch=8, tokens=96, at_low=True),
     "medium-translate": dict(size="medium", batch=8, tokens=96, task="translate"),
@@ -168,6 +171,7 @@ def run_measurement(args):
         args.size = preset["size"]
         args.batch = preset["batch"]
         args.tokens = preset["tokens"]
+        args.iters = max(args.iters, preset.get("iters", 0))
 
     dtype = jnp.float32 if args.fp32 else jnp.bfloat16
     model = wat.build_model(args.size, storage_dtype=dtype, seed=0,
