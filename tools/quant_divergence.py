@@ -157,6 +157,17 @@ def main():
         "cross-int4-fused": dict(weight_quant=False, kv_quant=True,
                                  self_kv_quant=False, kv_layout="fused",
                                  kv_bits=4),
+        # precompute impl A/B (ops/kv_quant.py, the TPU default): both rows
+        # measure against the SAME fp reference, so their difference from
+        # each other is bounded by the triangle inequality — on-chip
+        # 2026-08-18 the kernel-vs-xla delta measured the same rounding
+        # class as int8-vs-fp itself (max|dlogit| 0.053, zero flips)
+        "fused-impl-xla": dict(weight_quant=False, kv_quant=True,
+                               self_kv_quant=False, kv_layout="fused",
+                               kv_impl="xla"),
+        "fused-impl-kernel": dict(weight_quant=False, kv_quant=True,
+                                  self_kv_quant=False, kv_layout="fused",
+                                  kv_impl="kernel"),
     }
 
     def softmax(x):
@@ -170,8 +181,14 @@ def main():
     print(f"{'variant':16} {'max|dlogit|':>11} {'mean TV':>9} {'max TV':>8} "
           f"{'argmax flips':>12} {'first flip':>10}")
     for name, cfg in variants.items():
+        cfg = dict(cfg)
+        impl = cfg.pop("kv_impl", None)
+        if impl is not None:
+            os.environ["WHISPER_AT_TPU_KV_PRECOMPUTE"] = impl
         run = build_step_fn(model, compute_dtype=compute_dtype, **cfg)
         q_logits, q_argmax = run(feats, ref_tokens, sot_seq, args.steps)
+        if impl is not None:
+            del os.environ["WHISPER_AT_TPU_KV_PRECOMPUTE"]
         dlogit = np.abs(q_logits - ref_logits).max(axis=-1)
         tv = 0.5 * np.abs(softmax(q_logits) - ref_probs).sum(axis=-1)
         flips = [i for i in range(args.steps) if q_argmax[i] != ref_tokens[i]]
