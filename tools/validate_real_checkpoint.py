@@ -228,6 +228,30 @@ def main(argv=None):
             check(close, "  (normalized texts still match)")
             failures.append("quant:tokens" if not close else "quant:raw-only")
 
+        # the fused-layout precompute ships two implementations (XLA and
+        # the ops/kv_quant.py pallas kernel, the TPU default); their int8
+        # artifacts can differ at bf16 rounding boundaries, so check the
+        # impl choice does not move REAL-weight tokens either
+        old = os.environ.get("WHISPER_AT_TPU_KV_PRECOMPUTE")
+        try:
+            impl_text = {}
+            for impl in ("xla", "kernel"):
+                os.environ["WHISPER_AT_TPU_KV_PRECOMPUTE"] = impl
+                r = wat.transcribe_batched(
+                    model, audio, fp16=not args.fp32,
+                    language=args.language, kv_quant=True,
+                    weight_quant=True, kv_layout="fused",
+                )
+                impl_text[impl] = r["text"]
+            if not check(impl_text["xla"] == impl_text["kernel"],
+                         "kernel-precompute tokens identical to xla"):
+                failures.append("quant:impl-ab")
+        finally:
+            if old is None:
+                os.environ.pop("WHISPER_AT_TPU_KV_PRECOMPUTE", None)
+            else:
+                os.environ["WHISPER_AT_TPU_KV_PRECOMPUTE"] = old
+
     # ---- stage 6: goldens ------------------------------------------------ #
     if args.out:
         stage("record goldens")
