@@ -130,6 +130,22 @@ def test_streaming_empty_and_tiny_streams(model):
     assert out["audio_tag"].shape == (1, 527)
 
 
+def test_streaming_subhop_language_matches_offline(model):
+    """A stream too short to ever process a window (< 1 hop) must detect
+    the SAME language as offline transcribe() on identical samples — i.e.
+    from the received audio's padded first window, not from pure silence."""
+    from whisper_at_tpu.transcribe import transcribe
+
+    opts = dict(OPTS)
+    opts.pop("language")
+    audio = _clicky_audio(100 / 16000.0)[:100]
+    off = transcribe(model, audio, **opts)
+    sess = StreamingTranscriber(model, **opts)
+    sess.feed(audio)
+    out = sess.finish()
+    assert out["language"] == off["language"]
+
+
 def test_streaming_rejects_word_timestamps(model):
     with pytest.raises(ValueError):
         StreamingTranscriber(model, word_timestamps=True)

@@ -42,7 +42,13 @@ from .segmentation import (
     segment_record,
 )
 from .tokenizer import get_tokenizer
-from .transcribe import _geometry, _resolve_language, _run_ladder, _tag_window
+from .transcribe import (
+    _geometry,
+    _resolve_language,
+    _run_ladder,
+    _tag_window,
+    print_segment,
+)
 
 # alignment margin: 2 whole hops (>= the 200-sample STFT half-window, and a
 # multiple of HOP_LENGTH so sliced frames stay on the recording's frame grid)
@@ -185,14 +191,21 @@ class StreamingTranscriber:
             self.segments.extend(self._process_window(final=True))
 
         if self._tokenizer is None:
-            # nothing was ever processed (empty / sub-window stream):
-            # resolve the language on the silent-padded window, exactly as
-            # the offline path detects on a padded first window
-            silent = log_mel_spectrogram_jax(
-                np.zeros((N_SAMPLES,), np.float32), padding=0
+            # nothing was ever processed (empty / sub-hop stream): resolve
+            # the language exactly as the offline path would — on the
+            # first window of the RECEIVED samples padded with 30 s of
+            # silence (a pure-silence window would ignore a sub-hop tail
+            # and could detect a different language than transcribe())
+            if self._pending:
+                self._buf = np.concatenate([self._buf] + self._pending)
+                self._pending = []
+            first = log_mel_spectrogram_jax(
+                self._buf if self._buf.size
+                else np.zeros((1,), np.float32),
+                padding=N_SAMPLES,
             )[:, :N_FRAMES]
             self._language = _resolve_language(
-                self.model, silent, self.decode_options, self.verbose
+                self.model, first, self.decode_options, self.verbose
             )
             text = ""
         else:
@@ -235,8 +248,9 @@ class StreamingTranscriber:
                 piece, np.zeros(end - start - len(piece), np.float32)
             ])
         # exact=True: the ~3004-frame piece would otherwise bucket to a 60 s
-        # mel — 2x the FLOPs for frames nothing reads; window pieces are a
-        # fixed size per session, so this still compiles exactly once
+        # mel — 2x the FLOPs for frames nothing reads. Two compiled programs
+        # per session: the first window has no lead margin (lead_frames=0),
+        # every later window has the full _MARGIN_FRAMES one
         mel = log_mel_spectrogram_jax(piece, padding=0, exact=True)
         return mel[:, lead_frames:lead_frames + N_FRAMES]
 
@@ -302,6 +316,8 @@ class StreamingTranscriber:
         for i, seg in enumerate(new_segments):
             seg["id"] = base_id + i
             self._thread.extend(seg["tokens"])
+            if self.verbose:
+                print_segment(seg)
         if not final:
             self.segments.extend(new_segments)
         if not self.condition_on_previous_text or result.temperature > 0.5:

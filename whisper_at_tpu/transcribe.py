@@ -19,7 +19,6 @@ Device work (mel, encoder, decode loop, TL-TR head) happens inside jitted
 programs; this module is host-side control only.
 """
 
-from functools import partial
 from typing import List, Optional, Tuple, Union
 
 import jax
@@ -64,10 +63,18 @@ DEFAULT_MAX_BATCH = 24
 # --------------------------------------------------------------------------- #
 
 
-@partial(jax.jit, donate_argnums=())
+@jax.jit
 def _slice_window(mel: jnp.ndarray, seek: jnp.ndarray) -> jnp.ndarray:
     """[80, T] resident mel -> one [80, N_FRAMES] window, on device."""
     return jax.lax.dynamic_slice(mel, (0, seek), (mel.shape[0], N_FRAMES))
+
+
+def print_segment(seg: dict) -> None:
+    """The reference's verbose per-segment line (transcribe.py:368-369)."""
+    print(make_safe(
+        f"[{format_timestamp(seg['start'])} --> "
+        f"{format_timestamp(seg['end'])}] {seg['text']}"
+    ))
 
 
 def _resolve_language(model, mel_window, decode_options, verbose=None) -> str:
@@ -212,9 +219,10 @@ def transcribe(
             _tag_window(model, grid, seek, result, at_time_res)
 
             if gate.is_silence(result):
+                # segment_size = min(N_FRAMES, content_frames - seek)
+                # already caps the advance at content_frames
                 seek += segment_size
-                pbar.update(min(content_frames, seek)
-                            - (seek - segment_size))
+                pbar.update(segment_size)
                 continue
 
             window_start = seek
@@ -262,10 +270,7 @@ def transcribe(
 
             if verbose:
                 for seg in new_segments:
-                    print(make_safe(
-                        f"[{format_timestamp(seg['start'])} --> "
-                        f"{format_timestamp(seg['end'])}] {seg['text']}"
-                    ))
+                    print_segment(seg)
 
             clear_degenerate(new_segments)
             for seg in new_segments:
@@ -517,10 +522,7 @@ def _assemble_windows(model, results, windows, content_frames, tokenizer,
             seg["id"] = len(all_segments)
             all_segments.append(seg)
             if verbose:
-                print(make_safe(
-                    f"[{format_timestamp(seg['start'])} --> "
-                    f"{format_timestamp(seg['end'])}] {seg['text']}"
-                ))
+                print_segment(seg)
 
     return all_tokens, all_segments
 
@@ -625,7 +627,10 @@ def transcribe_many(
         for row, (i, _, _) in enumerate(order):
             files[i]["windows"] = wins[row]
             files[i]["first"] = wins[row, 0]
-    del groups  # release the prepped-signal references (O(total audio))
+    # release the prepped-signal references (O(total audio)) — the last
+    # loop iteration's locals hold them too, not just `groups`
+    groups = idxs = host = dev = parts = order = sigs = n_valid = wins = None
+    del groups, idxs, host, dev, parts, order, sigs, n_valid, wins
 
     if needs_detect:
         # ONE batched language-id pass over every file's first window —
