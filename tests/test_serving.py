@@ -1,0 +1,212 @@
+"""TranscriptionService: continuous batching parity, grouping, HTTP API.
+
+The service must be a pure scheduler: every result identical to calling
+transcribe_many / transcribe_batched directly with the same options
+(window packing never changes per-window decode), with batching visible
+only in the stats.
+"""
+
+import io
+import json
+import urllib.request
+import wave
+
+import numpy as np
+import pytest
+
+import whisper_at_tpu as wat
+from whisper_at_tpu.models.dims import ModelDimensions
+from whisper_at_tpu.models.whisper import Whisper
+from whisper_at_tpu.serving import (
+    TranscriptionService,
+    _coerce_params,
+    make_http_server,
+)
+from whisper_at_tpu.transcribe import transcribe_many
+
+DIMS = ModelDimensions(
+    n_mels=80, n_audio_ctx=1500, n_audio_state=64, n_audio_head=4,
+    n_audio_layer=2, n_vocab=51865, n_text_ctx=448, n_text_head=4,
+    n_text_state=64, n_text_layer=2,
+)
+
+OPTS = dict(
+    language="en", temperature=0.0, fp16=False,
+    logprob_threshold=None, compression_ratio_threshold=None,
+    no_speech_threshold=None, sample_len=12,
+)
+
+
+@pytest.fixture(scope="module")
+def model():
+    return Whisper(DIMS, seed=5)
+
+
+def clip(seconds, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(16000 * seconds)) / 16000.0
+    x = 0.3 * np.sin(2 * np.pi * (220 + 40 * seed) * t)
+    x += 0.02 * rng.standard_normal(len(t))
+    return x.astype(np.float32)
+
+
+def strip_tags(result):
+    r = dict(result)
+    tags = np.asarray(r.pop("audio_tag"))
+    return r, tags
+
+
+def test_service_parity_and_coalescing(model):
+    clips = [clip(2, 1), clip(5, 2), clip(35, 3), np.zeros(0, np.float32),
+             clip(1, 4)]
+    direct = transcribe_many(model, list(clips), **OPTS)
+
+    with TranscriptionService(model, max_wait_s=0.5, **OPTS) as svc:
+        futures = [svc.submit(c) for c in clips]
+        results = [f.result(timeout=300) for f in futures]
+        stats = svc.stats()
+
+    for got, want in zip(results, direct):
+        g, g_tags = strip_tags(got)
+        w, w_tags = strip_tags(want)
+        assert g["text"] == w["text"]
+        assert g["segments"] == w["segments"]
+        assert g["language"] == w["language"]
+        np.testing.assert_allclose(g_tags, w_tags, atol=2e-6)
+
+    assert stats["requests"] == len(clips)
+    assert stats["completed"] == len(clips)
+    # all five submitted inside one max_wait window -> far fewer batches
+    # than requests (the 35 s clip contributes 2 windows, total 6 <= 24)
+    assert stats["batches"] < len(clips)
+    assert stats["max_batch_windows"] >= 2
+    assert stats["audio_seconds"] > 40.0
+
+
+def test_mixed_options_grouped_separately(model):
+    c1, c2 = clip(2, 7), clip(2, 8)
+    direct_en = transcribe_many(model, [c1], **OPTS)[0]
+    direct_de = transcribe_many(model, [c2], **{**OPTS, "language": "de"})[0]
+
+    with TranscriptionService(model, max_wait_s=0.3, **OPTS) as svc:
+        f1 = svc.submit(c1)
+        f2 = svc.submit(c2, language="de")
+        r1, r2 = f1.result(timeout=300), f2.result(timeout=300)
+        stats = svc.stats()
+
+    assert r1["text"] == direct_en["text"]
+    assert r2["text"] == direct_de["text"]
+    assert r2["language"] == "de"
+    assert stats["batches"] == 2  # incompatible options never share a batch
+
+
+def test_prep_error_isolated(model):
+    good = clip(2, 9)
+    with TranscriptionService(model, max_wait_s=0.2, **OPTS) as svc:
+        bad = svc.submit("/nonexistent/file.wav")
+        ok = svc.submit(good)
+        assert isinstance(bad.exception(timeout=300), Exception)
+        assert ok.result(timeout=300)["text"] == transcribe_many(
+            model, [good], **OPTS
+        )[0]["text"]
+        stats = svc.stats()
+    assert stats["failed"] == 1
+    assert stats["completed"] == 1
+
+
+def test_close_semantics(model):
+    svc = TranscriptionService(model, max_wait_s=0.05, **OPTS)
+    fut = svc.submit(clip(1, 11))
+    svc.close(wait=True)  # drains the backlog
+    assert fut.result(timeout=10)["language"] == "en"
+    with pytest.raises(RuntimeError):
+        svc.submit(clip(1, 12))
+    svc.close()  # idempotent
+
+
+def test_rejects_conditioning(model):
+    with pytest.raises(ValueError):
+        TranscriptionService(model, condition_on_previous_text=True, **OPTS)
+    with TranscriptionService(model, **OPTS) as svc:
+        with pytest.raises(ValueError):
+            svc.submit(clip(1, 13), condition_on_previous_text=True)
+
+
+def test_coerce_params():
+    options, http = _coerce_params(
+        "language=en&beam_size=2&temperature=0,0.2&word_timestamps=true&tags=3"
+    )
+    assert options == dict(language="en", beam_size=2, temperature=(0.0, 0.2),
+                           word_timestamps=True)
+    assert http == dict(tags=3)
+    with pytest.raises(ValueError):
+        _coerce_params("bogus=1")
+    with pytest.raises(ValueError):
+        _coerce_params("beam_size=abc")
+
+
+def wav_bytes(x: np.ndarray) -> bytes:
+    pcm = (np.clip(x, -1, 1) * 32767).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(16000)
+        wf.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def test_http_server_end_to_end(model):
+    import threading
+
+    c = clip(2, 21)
+    body = wav_bytes(c)
+    # the server decodes the wav back to the same int16 grid the direct
+    # call sees when fed the identical quantized waveform
+    pcm = np.frombuffer(
+        wav_bytes(c)[44:], np.int16
+    )  # standard 44-byte PCM WAV header
+    direct = transcribe_many(model, [pcm], **OPTS)[0]
+
+    with TranscriptionService(model, max_wait_s=0.05, **OPTS) as svc:
+        server = make_http_server(svc, "127.0.0.1", 0)
+        port = server.server_address[1]
+        thread = threading.Thread(target=server.serve_forever, daemon=True)
+        thread.start()
+        try:
+            base = f"http://127.0.0.1:{port}"
+
+            health = json.loads(urllib.request.urlopen(
+                base + "/healthz", timeout=60).read())
+            assert health["status"] == "ok"
+
+            req = urllib.request.Request(
+                base + "/v1/transcribe?tags=3", data=body,
+                headers={"Content-Type": "audio/wav"},
+            )
+            resp = json.loads(urllib.request.urlopen(req, timeout=300).read())
+            assert resp["text"] == direct["text"]
+            assert resp["language"] == "en"
+            assert np.asarray(resp["audio_tag"]).shape == \
+                np.asarray(direct["audio_tag"]).shape
+            assert resp["audio_tags"][0]["audio tags"]  # top-3 labels present
+
+            bad = urllib.request.Request(
+                base + "/v1/transcribe?bogus=1", data=body,
+                headers={"Content-Type": "audio/wav"},
+            )
+            with pytest.raises(urllib.error.HTTPError) as exc_info:
+                urllib.request.urlopen(bad, timeout=60)
+            assert exc_info.value.code == 400
+
+            with pytest.raises(urllib.error.HTTPError) as exc_info:
+                urllib.request.urlopen(base + "/nope", timeout=60)
+            assert exc_info.value.code == 404
+        finally:
+            server.shutdown()
+            server.server_close()
+            thread.join()
+
+
+def test_top_level_export():
+    assert wat.TranscriptionService is TranscriptionService

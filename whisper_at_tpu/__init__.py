@@ -23,6 +23,7 @@ from .audio import (
 from .decoding import DecodingOptions, DecodingResult, decode, detect_language
 from .models.dims import ModelDimensions, dims_for
 from .models.whisper import Whisper, build_model
+from .serving import TranscriptionService
 from .streaming import StreamingTranscriber
 from .transcribe import transcribe, transcribe_batched, transcribe_many
 from .at_post_processing import parse_at_label, print_label_name, print_support_language

@@ -1,0 +1,514 @@
+"""Continuous-batching transcription service — the production serving surface.
+
+The reference serves requests strictly one at a time: the CLI loops over
+files calling ``transcribe`` per path (reference
+package/whisper-at/whisper_at/transcribe.py:461-489) and the Gradio demo
+runs one call per interaction (reference app.py:9-58). On a TPU that wastes
+the device: a single short clip leaves the batch dimension at 1-2 windows
+while the chip's throughput sweet spot is ~24 windows per dispatch.
+
+``TranscriptionService`` is the always-on equivalent: concurrent callers
+``submit()`` audio and receive a ``concurrent.futures.Future``; a scheduler
+thread coalesces compatible requests (same decode options) into shared
+device batches through :func:`whisper_at_tpu.transcribe.transcribe_many`
+(cross-file window packing), waiting at most ``max_wait_s`` to fill a batch.
+Each request's host work (file decode, STFT prep) and its host->device
+transfer run in a prep thread pool the moment it is submitted, so transfers
+ride under the previous batch's compute exactly like the pipelined bench.
+
+Results are identical to calling ``transcribe_batched`` per file — window
+packing never changes per-window decode — which the tests pin.
+
+A minimal stdlib HTTP front-end (``serve_http`` / ``python -m
+whisper_at_tpu.serving``) exposes the service as a JSON API:
+
+    POST /v1/transcribe?language=en&tags=5   (body: WAV bytes)
+    GET  /healthz                            (service stats)
+
+No third-party server dependency: ``http.server.ThreadingHTTPServer``
+handles connections; every handler thread just blocks on its request's
+Future while the scheduler batches across connections.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+import time
+from collections import deque
+from concurrent.futures import Future, ThreadPoolExecutor
+from typing import Optional
+
+import numpy as np
+
+from .audio import SAMPLE_RATE, prefetch_audio
+from .ops.mel import N_FRAMES, PrefetchedAudio
+from .transcribe import DEFAULT_MAX_BATCH, transcribe_many
+
+
+def _canonical_options(options: dict) -> tuple:
+    """Hashable identity of a decode-option set (the batching compatibility
+    key): requests batch together only when every option matches, so a
+    packed group shares one tokenizer/prompt/decode program."""
+    items = []
+    for k in sorted(options):
+        v = options[k]
+        if isinstance(v, (list, tuple)):
+            v = tuple(v)
+        items.append((k, v))
+    return tuple(items)
+
+
+class _Request:
+    __slots__ = ("future", "prep", "key", "options", "submitted_at",
+                 "windows", "audio")
+
+    def __init__(self, future, prep, key, options):
+        self.future = future
+        self.prep = prep            # Future[PrefetchedAudio | np.ndarray]
+        self.key = key
+        self.options = options
+        self.submitted_at = time.monotonic()
+        self.windows = None         # resolved from prep when scheduled
+        self.audio = None
+
+
+def _window_count(prepped) -> int:
+    """30 s windows a prepped input contributes to a packed batch (the same
+    arithmetic transcribe_many uses: content frames beyond the 30 s padding
+    tail, in N_FRAMES windows; zero-content clips decode nothing)."""
+    if isinstance(prepped, PrefetchedAudio):
+        content = prepped.n_frames - N_FRAMES
+        return max(0, -(-content // N_FRAMES)) if content > 0 else 0
+    n = int(np.asarray(prepped).size)
+    return max(1, -(-n // (SAMPLE_RATE * 30))) if n else 0
+
+
+class TranscriptionService:
+    """Always-on batching scheduler around ``transcribe_many``.
+
+    Parameters
+    ----------
+    model: a ``Whisper`` model (built or loaded).
+    max_batch: device window budget per dispatch (the measured v5e sweet
+        spot is 24; see bench.py).
+    max_wait_s: how long the scheduler holds an under-full batch open for
+        more compatible requests. Latency floor for a lone request.
+    prefetch: prep each request's audio (decode + STFT prep + async
+        host->device transfer) in a thread pool at submit time. Disable
+        only for debugging; results are identical either way.
+    mesh: optional ``jax.sharding.Mesh`` forwarded to ``transcribe_many``
+        (dp-sharded serving).
+    default_options: decode options applied to every request (overridable
+        per ``submit``), e.g. ``language="en", fp16=False``.
+    """
+
+    _CLOSED = object()
+
+    def __init__(self, model, *, max_batch: int = DEFAULT_MAX_BATCH,
+                 max_wait_s: float = 0.05, prefetch: bool = True,
+                 prep_workers: int = 4, mesh=None, **default_options):
+        if default_options.get("condition_on_previous_text"):
+            raise ValueError(
+                "condition_on_previous_text=True serializes windows and "
+                "cannot ride the packed batch path; use transcribe() directly"
+            )
+        self.model = model
+        self.max_batch = int(max_batch)
+        self.max_wait_s = float(max_wait_s)
+        self.mesh = mesh
+        self.default_options = dict(default_options)
+        self._prefetch = prefetch
+        self._pending: deque = deque()
+        self._cv = threading.Condition()
+        self._closed = False
+        self._drain = True          # process backlog on close(wait=True)
+        self._stats_lock = threading.Lock()
+        self._stats = dict(requests=0, completed=0, failed=0, batches=0,
+                           windows=0, audio_seconds=0.0, busy_s=0.0,
+                           max_batch_windows=0)
+        self._prep_pool = ThreadPoolExecutor(
+            max_workers=max(1, prep_workers),
+            thread_name_prefix="wat-serve-prep",
+        )
+        self._thread = threading.Thread(
+            target=self._scheduler, name="wat-serve-scheduler", daemon=True
+        )
+        self._thread.start()
+
+    # ------------------------------------------------------------------ #
+    # client surface
+    # ------------------------------------------------------------------ #
+
+    def submit(self, audio, **overrides) -> Future:
+        """Queue one recording (waveform, file path, or PrefetchedAudio);
+        returns a Future resolving to the ``transcribe``-shaped dict."""
+        with self._cv:
+            if self._closed:
+                raise RuntimeError("TranscriptionService is closed")
+            options = dict(self.default_options)
+            options.update(overrides)
+            if options.get("condition_on_previous_text"):
+                raise ValueError(
+                    "condition_on_previous_text=True cannot be served "
+                    "from the packed batch path"
+                )
+            fut: Future = Future()
+            prep = self._prep_pool.submit(self._prep, audio)
+            req = _Request(fut, prep, _canonical_options(options), options)
+            self._pending.append(req)
+            with self._stats_lock:
+                self._stats["requests"] += 1
+            self._cv.notify()
+        return fut
+
+    def transcribe(self, audio, **overrides) -> dict:
+        """Synchronous convenience: ``submit(...).result()``."""
+        return self.submit(audio, **overrides).result()
+
+    def stats(self) -> dict:
+        with self._stats_lock:
+            s = dict(self._stats)
+        s["pending"] = len(self._pending)
+        s["closed"] = self._closed
+        return s
+
+    def close(self, wait: bool = True):
+        """Stop the service. ``wait=True`` processes the backlog first;
+        ``wait=False`` cancels every request still queued."""
+        with self._cv:
+            if self._closed and not self._thread.is_alive():
+                return
+            self._closed = True
+            self._drain = wait
+            self._cv.notify_all()
+        self._thread.join()
+        self._prep_pool.shutdown(wait=True)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close(wait=not any(exc))
+
+    # ------------------------------------------------------------------ #
+    # scheduler
+    # ------------------------------------------------------------------ #
+
+    def _prep(self, audio):
+        if isinstance(audio, PrefetchedAudio):
+            return audio
+        if self._prefetch:
+            return prefetch_audio(audio)
+        if isinstance(audio, str):
+            from .audio import load_audio_pcm16
+
+            return load_audio_pcm16(audio)
+        return np.asarray(audio)
+
+    def _resolve(self, req: _Request) -> bool:
+        """Wait for a request's prep; on prep failure fail its future.
+        Returns True when the request is schedulable."""
+        if req.audio is not None:
+            return True
+        try:
+            req.audio = req.prep.result()
+        except Exception as exc:  # noqa: BLE001 — forwarded to the caller
+            req.future.set_exception(exc)
+            with self._stats_lock:
+                self._stats["failed"] += 1
+            return False
+        req.windows = _window_count(req.audio)
+        return True
+
+    def _take_batch(self):
+        """Assemble the next batch under the condition variable.
+
+        FIFO head defines the option group; later compatible requests join
+        until the window budget fills or ``max_wait_s`` passes. Requests
+        with different options stay queued, in order, for the next cycle.
+        Returns (requests, key) or ``TranscriptionService._CLOSED``.
+        """
+        with self._cv:
+            while not self._pending:
+                if self._closed:
+                    return self._CLOSED
+                self._cv.wait()
+            if self._closed and not self._drain:
+                while self._pending:
+                    self._pending.popleft().future.cancel()
+                return self._CLOSED
+            head = self._pending.popleft()
+        if not self._resolve(head):
+            return [], head.key
+        batch, windows = [head], head.windows
+        deadline = time.monotonic() + self.max_wait_s
+        while windows < self.max_batch:
+            with self._cv:
+                i, nxt = 0, None
+                while i < len(self._pending):
+                    if self._pending[i].key == head.key:
+                        nxt = self._pending[i]
+                        del self._pending[i]
+                        break
+                    i += 1
+                if nxt is None:
+                    if self._closed:
+                        break
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0:
+                        break
+                    self._cv.wait(timeout=remaining)
+                    continue
+            if self._resolve(nxt):
+                batch.append(nxt)
+                windows += nxt.windows
+        return batch, head.key
+
+    def _scheduler(self):
+        while True:
+            taken = self._take_batch()
+            if taken is self._CLOSED:
+                return
+            batch, _ = taken
+            if not batch:
+                continue
+            options = dict(batch[0].options)
+            t0 = time.monotonic()
+            try:
+                results = transcribe_many(
+                    self.model, [r.audio for r in batch],
+                    max_batch=self.max_batch, mesh=self.mesh, **options,
+                )
+            except Exception as exc:  # noqa: BLE001 — per-request delivery
+                for r in batch:
+                    if not r.future.cancelled():
+                        r.future.set_exception(exc)
+                with self._stats_lock:
+                    self._stats["failed"] += len(batch)
+                    self._stats["batches"] += 1
+                continue
+            busy = time.monotonic() - t0
+            n_windows = sum(r.windows for r in batch)
+            with self._stats_lock:
+                s = self._stats
+                s["completed"] += len(batch)
+                s["batches"] += 1
+                s["windows"] += n_windows
+                s["busy_s"] += busy
+                s["max_batch_windows"] = max(s["max_batch_windows"], n_windows)
+                for r, res in zip(batch, results):
+                    s["audio_seconds"] += _audio_seconds(r.audio)
+            for r, res in zip(batch, results):
+                if not r.future.cancelled():
+                    r.future.set_result(res)
+
+
+def _audio_seconds(prepped) -> float:
+    if isinstance(prepped, PrefetchedAudio):
+        from .ops.mel import HOP_LENGTH
+
+        # n_frames counts the padded signal; remove the 30 s padding tail
+        return max(0, prepped.n_frames - N_FRAMES) * HOP_LENGTH / SAMPLE_RATE
+    return float(np.asarray(prepped).size) / SAMPLE_RATE
+
+
+# -------------------------------------------------------------------------- #
+# HTTP front-end (stdlib only)
+# -------------------------------------------------------------------------- #
+
+def _jsonable(obj):
+    """Recursively convert numpy/jax leaves to JSON-serializable types."""
+    if isinstance(obj, dict):
+        return {k: _jsonable(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_jsonable(v) for v in obj]
+    if isinstance(obj, np.generic):
+        return obj.item()
+    if hasattr(obj, "tolist"):  # np.ndarray / jax.Array
+        return np.asarray(obj).tolist()
+    return obj
+
+
+# query-parameter coercions the HTTP API accepts (a typed allowlist: an
+# unknown or malformed parameter is a 400, never a silent default)
+_PARAM_TYPES = {
+    "language": str,
+    "task": str,
+    "beam_size": int,
+    "best_of": int,
+    "patience": float,
+    "length_penalty": float,
+    "sample_len": int,
+    "at_time_res": float,
+    "temperature": "floats",
+    "word_timestamps": "bool",
+    "without_timestamps": "bool",
+    "initial_prompt": str,
+    "tags": int,          # HTTP-level: include top-k parsed tag names
+    "tag_language": str,  # HTTP-level: label language for tags
+}
+_BOOL_TRUE = {"1", "true", "yes", "on"}
+_BOOL_FALSE = {"0", "false", "no", "off"}
+
+
+def _coerce_params(query: str):
+    """Parse a request query string into (decode_options, http_options)."""
+    from urllib.parse import parse_qsl
+
+    options, http = {}, {}
+    for k, v in parse_qsl(query, keep_blank_values=True):
+        spec = _PARAM_TYPES.get(k)
+        if spec is None:
+            raise ValueError(f"unknown parameter: {k}")
+        try:
+            if spec == "bool":
+                lv = v.lower()
+                if lv in _BOOL_TRUE:
+                    val = True
+                elif lv in _BOOL_FALSE:
+                    val = False
+                else:
+                    raise ValueError(v)
+            elif spec == "floats":
+                parts = [float(p) for p in v.split(",") if p != ""]
+                val = parts[0] if len(parts) == 1 else tuple(parts)
+            else:
+                val = spec(v)
+        except ValueError as exc:
+            raise ValueError(f"bad value for {k}: {v!r}") from exc
+        (http if k in ("tags", "tag_language") else options)[k] = val
+    return options, http
+
+
+def _decode_wav_bytes(body: bytes) -> np.ndarray:
+    """Decode an in-memory WAV request body to int16/float32 mono at 16 kHz
+    (same arithmetic as audio.load_audio_pcm16's built-in WAV path)."""
+    import wave
+
+    from .audio import _load_audio_wav
+
+    with wave.open(io.BytesIO(body), "rb") as wf:
+        if (wf.getsampwidth() == 2 and wf.getnchannels() == 1
+                and wf.getframerate() == SAMPLE_RATE):
+            return np.frombuffer(
+                wf.readframes(wf.getnframes()), np.int16
+            ).flatten()
+    return _load_audio_wav(io.BytesIO(body), SAMPLE_RATE)
+
+
+def make_http_server(service: TranscriptionService, host: str = "127.0.0.1",
+                     port: int = 0):
+    """Build (without starting) a ThreadingHTTPServer bound to the service.
+
+    Routes:
+      GET  /healthz          -> 200 service stats
+      POST /v1/transcribe    -> 200 transcribe-result JSON
+           body: WAV bytes, or JSON {"path": "/local/file"}; options via
+           query string (see _PARAM_TYPES); ``tags=k`` adds top-k parsed
+           label names per segment via parse_at_label.
+    """
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def do_GET(self):
+            if self.path.split("?")[0] == "/healthz":
+                self._send(200, dict(status="ok", **service.stats()))
+            else:
+                self._send(404, {"error": "not found"})
+
+        def do_POST(self):
+            path, _, query = self.path.partition("?")
+            if path != "/v1/transcribe":
+                self._send(404, {"error": "not found"})
+                return
+            try:
+                options, http_opts = _coerce_params(query)
+            except ValueError as exc:
+                self._send(400, {"error": str(exc)})
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(length)
+            ctype = (self.headers.get("Content-Type") or "").split(";")[0]
+            try:
+                if ctype == "application/json":
+                    spec = json.loads(body)
+                    audio = spec["path"]
+                else:
+                    audio = _decode_wav_bytes(body)
+            except Exception as exc:  # noqa: BLE001 — client error
+                self._send(400, {"error": f"bad audio payload: {exc}"})
+                return
+            try:
+                result = service.transcribe(audio, **options)
+            except Exception as exc:  # noqa: BLE001 — surfaced as 500
+                self._send(500, {"error": str(exc)})
+                return
+            payload = _jsonable(result)
+            if http_opts.get("tags"):
+                from .at_post_processing import parse_at_label
+
+                payload["audio_tags"] = _jsonable(parse_at_label(
+                    result, top_k=http_opts["tags"],
+                    language=http_opts.get("tag_language", "follow_asr"),
+                ))
+            self._send(200, payload)
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def serve_http(service: TranscriptionService, host: str = "127.0.0.1",
+               port: int = 8080):
+    """Run the HTTP front-end until interrupted."""
+    server = make_http_server(service, host, port)
+    try:
+        server.serve_forever()
+    finally:
+        server.server_close()
+
+
+def main(argv=None):
+    import argparse
+
+    from . import build_model, load_model
+
+    parser = argparse.ArgumentParser(
+        description="whisper-at-tpu batching transcription server"
+    )
+    parser.add_argument("--model", default="tiny")
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8080)
+    parser.add_argument("--max-batch", type=int, default=DEFAULT_MAX_BATCH)
+    parser.add_argument("--max-wait-ms", type=float, default=50.0)
+    parser.add_argument("--language", default=None)
+    parser.add_argument("--random", action="store_true",
+                        help="random weights (offline smoke serving)")
+    args = parser.parse_args(argv)
+
+    model = (build_model(args.model, seed=0) if args.random
+             else load_model(args.model))
+    options = {}
+    if args.language:
+        options["language"] = args.language
+    with TranscriptionService(model, max_batch=args.max_batch,
+                              max_wait_s=args.max_wait_ms / 1000.0,
+                              **options) as service:
+        print(f"serving {args.model} on http://{args.host}:{args.port} "
+              f"(max_batch={args.max_batch})", flush=True)
+        serve_http(service, args.host, args.port)
+
+
+if __name__ == "__main__":
+    main()
