@@ -50,6 +50,10 @@ def main():
                         help="generate N synthetic clips instead of files")
     parser.add_argument("--batches", type=int, default=2,
                         help="number of request batches to simulate")
+    parser.add_argument("--service", action="store_true",
+                        help="drive the same requests through the always-on "
+                             "TranscriptionService (continuous batching) "
+                             "instead of manual batch loops")
     args = parser.parse_args()
 
     if args.random:
@@ -71,6 +75,27 @@ def main():
     opts = dict(language="en", temperature=0.0,
                 logprob_threshold=None, compression_ratio_threshold=None,
                 no_speech_threshold=None)
+
+    if args.service:
+        # The always-on pattern: submit every request as it "arrives"; the
+        # service's scheduler thread coalesces them into shared device
+        # batches and each caller blocks only on its own Future.
+        with whisper.TranscriptionService(model, max_wait_s=0.2,
+                                          **opts) as svc:
+            t0 = time.perf_counter()
+            futures = [svc.submit(a) for batch in requests for a in batch]
+            for i, f in enumerate(futures):
+                r = f.result()
+                text = r["text"][:60].strip() or "<no speech>"
+                print(f"  request {i}: lang={r['language']} "
+                      f"tags={np.asarray(r['audio_tag']).shape} text={text!r}")
+            dt = time.perf_counter() - t0
+            stats = svc.stats()
+        print(f"service: {stats['completed']} requests in {dt:.2f}s, "
+              f"{stats['batches']} device batches, "
+              f"{stats['audio_seconds']:.0f} audio-s "
+              f"({stats['audio_seconds'] / dt:.1f} audio-s/s)")
+        return
 
     # The serving pattern: prefetch the NEXT request batch's audio before
     # processing the current one — the transfers ride the link while the

@@ -41,6 +41,7 @@ setup(
     entry_points={
         "console_scripts": [
             "whisper_at_tpu=whisper_at_tpu.transcribe:cli",
+            "whisper_at_tpu_serve=whisper_at_tpu.serving:main",
         ],
     },
 )
