@@ -208,5 +208,36 @@ def test_http_server_end_to_end(model):
             thread.join()
 
 
+def test_service_on_dp_mesh(model):
+    """dp-sharded serving: the service forwards its mesh to transcribe_many
+    and results stay identical to the single-device run."""
+    import jax
+
+    from whisper_at_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    clips = [clip(2, 31), clip(5, 32), clip(1, 33)]
+    direct = transcribe_many(model, list(clips), **OPTS)
+    mesh = make_mesh(n_devices=8)
+    with TranscriptionService(model, max_wait_s=0.5, mesh=mesh,
+                              **OPTS) as svc:
+        results = [f.result(timeout=300)
+                   for f in [svc.submit(c) for c in clips]]
+    float_keys = ("avg_logprob", "no_speech_prob", "compression_ratio")
+    for got, want in zip(results, direct):
+        assert got["text"] == want["text"]
+        assert len(got["segments"]) == len(want["segments"])
+        for g, w in zip(got["segments"], want["segments"]):
+            # mesh compilation reassociates reductions: token-identical,
+            # probability fields equal only to float tolerance
+            assert {k: v for k, v in g.items() if k not in float_keys} == \
+                {k: v for k, v in w.items() if k not in float_keys}
+            for k in float_keys:
+                np.testing.assert_allclose(g[k], w[k], rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(got["audio_tag"]),
+                                   np.asarray(want["audio_tag"]), atol=2e-6)
+
+
 def test_top_level_export():
     assert wat.TranscriptionService is TranscriptionService
