@@ -81,6 +81,8 @@ def test_service_parity_and_coalescing(model):
     assert stats["batches"] < len(clips)
     assert stats["max_batch_windows"] >= 2
     assert stats["audio_seconds"] > 40.0
+    assert 0 < stats["latency_p50_s"] <= stats["latency_p95_s"] \
+        <= stats["latency_max_s"]
 
 
 def test_mixed_options_grouped_separately(model):
@@ -169,7 +171,8 @@ def test_http_server_end_to_end(model):
     direct = transcribe_many(model, [pcm], **OPTS)[0]
 
     with TranscriptionService(model, max_wait_s=0.05, **OPTS) as svc:
-        server = make_http_server(svc, "127.0.0.1", 0)
+        server = make_http_server(svc, "127.0.0.1", 0,
+                                  max_body_bytes=len(body))
         port = server.server_address[1]
         thread = threading.Thread(target=server.serve_forever, daemon=True)
         thread.start()
@@ -202,6 +205,14 @@ def test_http_server_end_to_end(model):
             with pytest.raises(urllib.error.HTTPError) as exc_info:
                 urllib.request.urlopen(base + "/nope", timeout=60)
             assert exc_info.value.code == 404
+
+            too_big = urllib.request.Request(
+                base + "/v1/transcribe", data=body + b"x",
+                headers={"Content-Type": "audio/wav"},
+            )
+            with pytest.raises(urllib.error.HTTPError) as exc_info:
+                urllib.request.urlopen(too_big, timeout=60)
+            assert exc_info.value.code == 413
         finally:
             server.shutdown()
             server.server_close()

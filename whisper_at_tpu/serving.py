@@ -128,6 +128,9 @@ class TranscriptionService:
         self._stats = dict(requests=0, completed=0, failed=0, batches=0,
                            windows=0, audio_seconds=0.0, busy_s=0.0,
                            max_batch_windows=0)
+        # submit->result latencies of the most recent completions (enough
+        # for stable p50/p95 without unbounded memory)
+        self._latencies: deque = deque(maxlen=1024)
         self._prep_pool = ThreadPoolExecutor(
             max_workers=max(1, prep_workers),
             thread_name_prefix="wat-serve-prep",
@@ -170,6 +173,12 @@ class TranscriptionService:
     def stats(self) -> dict:
         with self._stats_lock:
             s = dict(self._stats)
+            lats = sorted(self._latencies)
+        if lats:
+            s["latency_p50_s"] = round(lats[len(lats) // 2], 4)
+            s["latency_p95_s"] = round(lats[int(len(lats) * 0.95)
+                                            if len(lats) > 1 else 0], 4)
+            s["latency_max_s"] = round(lats[-1], 4)
         s["pending"] = len(self._pending)
         s["closed"] = self._closed
         return s
@@ -289,17 +298,18 @@ class TranscriptionService:
                     self._stats["failed"] += len(batch)
                     self._stats["batches"] += 1
                 continue
-            busy = time.monotonic() - t0
+            done = time.monotonic()
             n_windows = sum(r.windows for r in batch)
             with self._stats_lock:
                 s = self._stats
                 s["completed"] += len(batch)
                 s["batches"] += 1
                 s["windows"] += n_windows
-                s["busy_s"] += busy
+                s["busy_s"] += done - t0
                 s["max_batch_windows"] = max(s["max_batch_windows"], n_windows)
                 for r, res in zip(batch, results):
                     s["audio_seconds"] += _audio_seconds(r.audio)
+                    self._latencies.append(done - r.submitted_at)
             for r, res in zip(batch, results):
                 if not r.future.cancelled():
                     r.future.set_result(res)
@@ -399,7 +409,7 @@ def _decode_wav_bytes(body: bytes) -> np.ndarray:
 
 
 def make_http_server(service: TranscriptionService, host: str = "127.0.0.1",
-                     port: int = 0):
+                     port: int = 0, max_body_bytes: int = 512 << 20):
     """Build (without starting) a ThreadingHTTPServer bound to the service.
 
     Routes:
@@ -408,6 +418,9 @@ def make_http_server(service: TranscriptionService, host: str = "127.0.0.1",
            body: WAV bytes, or JSON {"path": "/local/file"}; options via
            query string (see _PARAM_TYPES); ``tags=k`` adds top-k parsed
            label names per segment via parse_at_label.
+
+    Bodies over ``max_body_bytes`` (default 512 MB ≈ 4.5 h of 16 kHz WAV)
+    get 413 without being read.
     """
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -440,6 +453,10 @@ def make_http_server(service: TranscriptionService, host: str = "127.0.0.1",
                 self._send(400, {"error": str(exc)})
                 return
             length = int(self.headers.get("Content-Length", 0))
+            if length > max_body_bytes:
+                self._send(413, {"error": f"body exceeds {max_body_bytes} "
+                                          "bytes"})
+                return
             body = self.rfile.read(length)
             ctype = (self.headers.get("Content-Type") or "").split(";")[0]
             try:
