@@ -116,6 +116,19 @@ def test_prep_error_isolated(model):
     assert stats["completed"] == 1
 
 
+def test_cancelled_future_does_not_kill_scheduler(model):
+    good = clip(2, 15)
+    with TranscriptionService(model, max_wait_s=0.2, **OPTS) as svc:
+        victim = svc.submit(clip(2, 14))
+        victim.cancel()  # may or may not win the race with the scheduler
+        ok = svc.submit(good)
+        assert ok.result(timeout=300)["text"] == transcribe_many(
+            model, [good], **OPTS
+        )[0]["text"]
+        # a cancelled-and-lost future still resolved normally
+        assert victim.cancelled() or victim.done()
+
+
 def test_close_semantics(model):
     svc = TranscriptionService(model, max_wait_s=0.05, **OPTS)
     fut = svc.submit(clip(1, 11))

@@ -37,7 +37,7 @@ import json
 import threading
 import time
 from collections import deque
-from concurrent.futures import Future, ThreadPoolExecutor
+from concurrent.futures import Future, InvalidStateError, ThreadPoolExecutor
 from typing import Optional
 
 import numpy as np
@@ -58,6 +58,20 @@ def _canonical_options(options: dict) -> tuple:
             v = tuple(v)
         items.append((k, v))
     return tuple(items)
+
+
+def _settle(future: Future, *, result=None, exception=None) -> bool:
+    """set_result/set_exception tolerant of a caller's concurrent cancel()
+    (nothing marks these futures running, so cancel() can win any time
+    before the result lands — that must not kill the scheduler thread)."""
+    try:
+        if exception is not None:
+            future.set_exception(exception)
+        else:
+            future.set_result(result)
+        return True
+    except InvalidStateError:
+        return False
 
 
 class _Request:
@@ -224,7 +238,7 @@ class TranscriptionService:
         try:
             req.audio = req.prep.result()
         except Exception as exc:  # noqa: BLE001 — forwarded to the caller
-            req.future.set_exception(exc)
+            _settle(req.future, exception=exc)
             with self._stats_lock:
                 self._stats["failed"] += 1
             return False
@@ -292,8 +306,7 @@ class TranscriptionService:
                 )
             except Exception as exc:  # noqa: BLE001 — per-request delivery
                 for r in batch:
-                    if not r.future.cancelled():
-                        r.future.set_exception(exc)
+                    _settle(r.future, exception=exc)
                 with self._stats_lock:
                     self._stats["failed"] += len(batch)
                     self._stats["batches"] += 1
@@ -311,8 +324,7 @@ class TranscriptionService:
                     s["audio_seconds"] += _audio_seconds(r.audio)
                     self._latencies.append(done - r.submitted_at)
             for r, res in zip(batch, results):
-                if not r.future.cancelled():
-                    r.future.set_result(res)
+                _settle(r.future, result=res)
 
 
 def _audio_seconds(prepped) -> float:
