@@ -147,6 +147,42 @@ def test_rejects_conditioning(model):
             svc.submit(clip(1, 13), condition_on_previous_text=True)
 
 
+def test_concurrent_submitters_stress(model):
+    """16 threads submitting simultaneously across two option groups: every
+    request resolves, groups never mix, totals reconcile."""
+    import threading
+
+    short_opts = {**OPTS, "sample_len": 4}
+    results = {}
+    errors = []
+
+    with TranscriptionService(model, max_wait_s=0.3, **short_opts) as svc:
+        def worker(i):
+            try:
+                kw = {} if i % 2 == 0 else {"language": "de"}
+                results[i] = svc.submit(clip(1, 40 + i), **kw).result(
+                    timeout=600)
+            except Exception as exc:  # noqa: BLE001 — collected for assert
+                errors.append((i, exc))
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(16)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        stats = svc.stats()
+
+    assert not errors
+    assert len(results) == 16
+    assert all(r["language"] == ("en" if i % 2 == 0 else "de")
+               for i, r in results.items())
+    assert stats["completed"] == 16
+    # two incompatible option groups -> at least 2 batches, but far fewer
+    # than 16 (the scheduler coalesced within each group)
+    assert 2 <= stats["batches"] < 16
+
+
 def test_coerce_params():
     options, http = _coerce_params(
         "language=en&beam_size=2&temperature=0,0.2&word_timestamps=true&tags=3"
