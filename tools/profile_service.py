@@ -53,9 +53,12 @@ def main():
     from whisper_at_tpu.transcribe import transcribe_many
 
     model = wat.build_model(args.size, seed=0)
+    # the production bench config: int8 cross/self-KV + int8 weights
+    # (without them large-v1 bf16 KV at batch 24 exceeds v5e HBM)
     opts = dict(language="en", temperature=0.0, sample_len=args.tokens,
                 logprob_threshold=None, compression_ratio_threshold=None,
-                no_speech_threshold=None)
+                no_speech_threshold=None, kv_quant=True, weight_quant=True,
+                self_kv_quant=True)
 
     rng = np.random.default_rng(0)
     n_files = 3 * args.batch
