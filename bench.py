@@ -577,8 +577,12 @@ def orchestrate(args):
         if remaining < 180:
             sweep["presets"].setdefault(name, {"skipped": "budget exhausted"})
             continue
+        # 600 s: a preset's first pass pays its model's compile when the
+        # disk cache is cold AND may land in a service slump — a 480 s cap
+        # was measured too tight on 2026-08-19 (base-10min timed out, then
+        # passed on retry; the wasted window cost the informational rows)
         r, err = run_worker(["--config", name] + base_flags,
-                            timeout=min(480, remaining - 30))
+                            timeout=min(600, remaining - 30))
         sweep["presets"][name] = r if r is not None else {"error": err[-500:]}
         save()
         log(f"preset {name}: "
