@@ -104,15 +104,24 @@ def test_mixed_options_grouped_separately(model):
 
 def test_prep_error_isolated(model):
     good = clip(2, 9)
+    from whisper_at_tpu.audio import prefetch_audio
+
     with TranscriptionService(model, max_wait_s=0.2, **OPTS) as svc:
         bad = svc.submit("/nonexistent/file.wav")
+        # invalid-for-the-batch inputs must fail in prep (isolated), never
+        # inside the shared transcribe_many call: wrong prefetch padding
+        # and a non-1-D array are the two accepted-type footguns
+        bad_pad = svc.submit(prefetch_audio(clip(1, 9), padding=0))
+        bad_shape = svc.submit(np.zeros((2, 100), np.float32))
         ok = svc.submit(good)
         assert isinstance(bad.exception(timeout=300), Exception)
+        assert isinstance(bad_pad.exception(timeout=300), ValueError)
+        assert isinstance(bad_shape.exception(timeout=300), ValueError)
         assert ok.result(timeout=300)["text"] == transcribe_many(
             model, [good], **OPTS
         )[0]["text"]
         stats = svc.stats()
-    assert stats["failed"] == 1
+    assert stats["failed"] == 3
     assert stats["completed"] == 1
 
 
@@ -194,6 +203,8 @@ def test_coerce_params():
         _coerce_params("bogus=1")
     with pytest.raises(ValueError):
         _coerce_params("beam_size=abc")
+    with pytest.raises(ValueError):
+        _coerce_params("temperature=")  # blank value must 400, not 500
 
 
 def wav_bytes(x: np.ndarray) -> bytes:
@@ -262,6 +273,17 @@ def test_http_server_end_to_end(model):
             with pytest.raises(urllib.error.HTTPError) as exc_info:
                 urllib.request.urlopen(too_big, timeout=60)
             assert exc_info.value.code == 413
+
+            # path mode is disabled unless the server was started with a
+            # path root — a network client must never read server paths
+            path_req = urllib.request.Request(
+                base + "/v1/transcribe",
+                data=json.dumps({"path": "/etc/hostname"}).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with pytest.raises(urllib.error.HTTPError) as exc_info:
+                urllib.request.urlopen(path_req, timeout=60)
+            assert exc_info.value.code == 403
         finally:
             server.shutdown()
             server.server_close()
@@ -297,6 +319,56 @@ def test_service_on_dp_mesh(model):
                 np.testing.assert_allclose(g[k], w[k], rtol=1e-4)
         np.testing.assert_allclose(np.asarray(got["audio_tag"]),
                                    np.asarray(want["audio_tag"]), atol=2e-6)
+
+
+def test_http_path_mode_confined(model, tmp_path):
+    import threading
+
+    c = clip(1, 50)
+    wav_path = tmp_path / "inside.wav"
+    wav_path.write_bytes(wav_bytes(c))
+    direct = transcribe_many(model, [str(wav_path)], **OPTS)[0]
+
+    with TranscriptionService(model, max_wait_s=0.05, **OPTS) as svc:
+        server = make_http_server(svc, "127.0.0.1", 0,
+                                  path_root=str(tmp_path))
+        port = server.server_address[1]
+        thread = threading.Thread(target=server.serve_forever, daemon=True)
+        thread.start()
+        try:
+            base = f"http://127.0.0.1:{port}"
+
+            def post_json(payload):
+                return urllib.request.urlopen(urllib.request.Request(
+                    base + "/v1/transcribe",
+                    data=json.dumps(payload).encode(),
+                    headers={"Content-Type": "application/json"},
+                ), timeout=300)
+
+            resp = json.loads(post_json({"path": "inside.wav"}).read())
+            assert resp["text"] == direct["text"]
+
+            for escape in ("../outside.wav", "/etc/hostname"):
+                with pytest.raises(urllib.error.HTTPError) as exc_info:
+                    post_json({"path": escape})
+                assert exc_info.value.code == 403
+        finally:
+            server.shutdown()
+            server.server_close()
+            thread.join()
+
+
+def test_close_abort_skips_queued_prep(model, tmp_path):
+    """close(wait=False) must not decode every cancelled request's file."""
+    wav_path = tmp_path / "c.wav"
+    wav_path.write_bytes(wav_bytes(clip(1, 51)))
+    svc = TranscriptionService(model, max_wait_s=5.0, prep_workers=1, **OPTS)
+    futs = [svc.submit(str(wav_path)) for _ in range(64)]
+    t0 = __import__("time").monotonic()
+    svc.close(wait=False)
+    assert __import__("time").monotonic() - t0 < 30.0
+    # nothing hangs: every future is done one way or the other
+    assert all(f.done() or f.cancelled() for f in futs)
 
 
 def test_top_level_export():

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import io
 import json
+import os
 import threading
 import time
 from collections import deque
@@ -207,7 +208,9 @@ class TranscriptionService:
             self._drain = wait
             self._cv.notify_all()
         self._thread.join()
-        self._prep_pool.shutdown(wait=True)
+        # on abort (wait=False) drop prep jobs nobody will consume instead
+        # of decoding every cancelled request's file to completion
+        self._prep_pool.shutdown(wait=True, cancel_futures=not wait)
 
     def __enter__(self):
         return self
@@ -220,15 +223,33 @@ class TranscriptionService:
     # ------------------------------------------------------------------ #
 
     def _prep(self, audio):
+        """Per-request host work. Anything that can make THIS request
+        invalid must raise here (isolated, fails only its own future) —
+        never inside the shared transcribe_many call, which would deliver
+        the error to every co-batched request."""
+        from .ops.mel import N_SAMPLES
+
         if isinstance(audio, PrefetchedAudio):
+            if audio.padding != N_SAMPLES:
+                raise ValueError(
+                    f"PrefetchedAudio was prepared with padding="
+                    f"{audio.padding}; the service needs {N_SAMPLES} "
+                    "(the prefetch_audio default)"
+                )
             return audio
-        if self._prefetch:
-            return prefetch_audio(audio)
         if isinstance(audio, str):
+            if self._prefetch:
+                return prefetch_audio(audio)
             from .audio import load_audio_pcm16
 
             return load_audio_pcm16(audio)
-        return np.asarray(audio)
+        audio = np.asarray(audio)
+        if audio.ndim != 1 or not np.issubdtype(audio.dtype, np.number):
+            raise ValueError(
+                f"expected a 1-D numeric waveform, got shape {audio.shape} "
+                f"dtype {audio.dtype}"
+            )
+        return prefetch_audio(audio) if self._prefetch else audio
 
     def _resolve(self, req: _Request) -> bool:
         """Wait for a request's prep; on prep failure fail its future.
@@ -269,14 +290,20 @@ class TranscriptionService:
         deadline = time.monotonic() + self.max_wait_s
         while windows < self.max_batch:
             with self._cv:
-                i, nxt = 0, None
-                while i < len(self._pending):
-                    if self._pending[i].key == head.key:
-                        nxt = self._pending[i]
-                        del self._pending[i]
-                        break
-                    i += 1
-                if nxt is None:
+                # one forward pass: pull every compatible request (bounded
+                # by the window budget — each live request is >=1 window,
+                # zero-window empties are free riders) and rebuild the
+                # deque once; O(n) per cycle instead of a per-admission
+                # rescan, and submit() never waits on a long-held lock
+                cands, keep = [], deque()
+                budget = self.max_batch - windows
+                for r in self._pending:
+                    if r.key == head.key and len(cands) < budget:
+                        cands.append(r)
+                    else:
+                        keep.append(r)
+                self._pending = keep
+                if not cands:
                     if self._closed:
                         break
                     remaining = deadline - time.monotonic()
@@ -284,9 +311,17 @@ class TranscriptionService:
                         break
                     self._cv.wait(timeout=remaining)
                     continue
-            if self._resolve(nxt):
-                batch.append(nxt)
-                windows += nxt.windows
+            leftovers = []
+            for i, nxt in enumerate(cands):
+                if windows >= self.max_batch:
+                    leftovers = cands[i:]
+                    break
+                if self._resolve(nxt):
+                    batch.append(nxt)
+                    windows += nxt.windows
+            if leftovers:
+                with self._cv:
+                    self._pending.extendleft(reversed(leftovers))
         return batch, head.key
 
     def _scheduler(self):
@@ -395,6 +430,8 @@ def _coerce_params(query: str):
                     raise ValueError(v)
             elif spec == "floats":
                 parts = [float(p) for p in v.split(",") if p != ""]
+                if not parts:
+                    raise ValueError(v)
                 val = parts[0] if len(parts) == 1 else tuple(parts)
             else:
                 val = spec(v)
@@ -421,7 +458,8 @@ def _decode_wav_bytes(body: bytes) -> np.ndarray:
 
 
 def make_http_server(service: TranscriptionService, host: str = "127.0.0.1",
-                     port: int = 0, max_body_bytes: int = 512 << 20):
+                     port: int = 0, max_body_bytes: int = 512 << 20,
+                     path_root: Optional[str] = None):
     """Build (without starting) a ThreadingHTTPServer bound to the service.
 
     Routes:
@@ -432,8 +470,12 @@ def make_http_server(service: TranscriptionService, host: str = "127.0.0.1",
            label names per segment via parse_at_label.
 
     Bodies over ``max_body_bytes`` (default 512 MB ≈ 4.5 h of 16 kHz WAV)
-    get 413 without being read.
+    get 413 without being read. The JSON ``path`` mode reads server-local
+    files, so it is DISABLED unless ``path_root`` names a directory;
+    requests outside that directory get 403 (a network client must never
+    choose arbitrary server paths).
     """
+    root = os.path.realpath(path_root) if path_root else None
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     class Handler(BaseHTTPRequestHandler):
@@ -473,8 +515,19 @@ def make_http_server(service: TranscriptionService, host: str = "127.0.0.1",
             ctype = (self.headers.get("Content-Type") or "").split(";")[0]
             try:
                 if ctype == "application/json":
-                    spec = json.loads(body)
-                    audio = spec["path"]
+                    audio = json.loads(body)["path"]
+                    if root is None:
+                        self._send(403, {"error": "path mode is disabled "
+                                                  "(server started without "
+                                                  "a path root)"})
+                        return
+                    real = os.path.realpath(os.path.join(root, audio))
+                    if not (real == root
+                            or real.startswith(root + os.sep)):
+                        self._send(403, {"error": "path outside the "
+                                                  "served root"})
+                        return
+                    audio = real
                 else:
                     audio = _decode_wav_bytes(body)
             except Exception as exc:  # noqa: BLE001 — client error
@@ -499,9 +552,9 @@ def make_http_server(service: TranscriptionService, host: str = "127.0.0.1",
 
 
 def serve_http(service: TranscriptionService, host: str = "127.0.0.1",
-               port: int = 8080):
+               port: int = 8080, path_root: Optional[str] = None):
     """Run the HTTP front-end until interrupted."""
-    server = make_http_server(service, host, port)
+    server = make_http_server(service, host, port, path_root=path_root)
     try:
         server.serve_forever()
     finally:
@@ -524,6 +577,11 @@ def main(argv=None):
     parser.add_argument("--language", default=None)
     parser.add_argument("--random", action="store_true",
                         help="random weights (offline smoke serving)")
+    parser.add_argument("--allow-paths", default=None, metavar="DIR",
+                        help="enable the JSON {'path': ...} request mode, "
+                             "confined to files under DIR (off by default: "
+                             "a network client must never read arbitrary "
+                             "server paths)")
     args = parser.parse_args(argv)
 
     model = (build_model(args.model, seed=0) if args.random
@@ -536,7 +594,8 @@ def main(argv=None):
                               **options) as service:
         print(f"serving {args.model} on http://{args.host}:{args.port} "
               f"(max_batch={args.max_batch})", flush=True)
-        serve_http(service, args.host, args.port)
+        serve_http(service, args.host, args.port,
+                   path_root=args.allow_paths)
 
 
 if __name__ == "__main__":
