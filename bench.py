@@ -237,8 +237,21 @@ def run_measurement(args):
             # dispatched as each prep finishes
             return prefetch_audio_many(payload)
 
+        # measure the production serving surface: the continuous-batching
+        # TranscriptionService (scheduler + per-batch dispatch), not a bare
+        # one-shot transcribe_many — the on-chip A/B
+        # (tools/profile_service.py, 2026-08-19) measured the service's
+        # per-batch pipelining ~9% FASTER than the one-shot call, so this
+        # is both the honest serving number and the better one
+        from whisper_at_tpu.serving import TranscriptionService
+
+        svc_opts = {k: v for k, v in common.items() if k != "max_batch"}
+        service = TranscriptionService(model, max_batch=args.batch,
+                                       max_wait_s=0.05, **svc_opts)
+
         def pipeline(pre):
-            return transcribe_many(model, pre, **common)
+            for f in [service.submit(a) for a in pre]:
+                f.result()
     else:
         audio_seconds = args.batch * 30
         payloads = [make_audio(audio_seconds, seed_offset=it)
@@ -287,7 +300,8 @@ def run_measurement(args):
 
     best = min(times)
     rtf = audio_seconds / best
-    mode = "serving (many short files)" if args.serving else "batched"
+    mode = ("serving (many short files via TranscriptionService)"
+            if args.serving else "batched")
     beam_tag = (f"beam {common['beam_size']}, " if "beam_size" in common
                 else "")
     return {
