@@ -138,6 +138,35 @@ def test_cancelled_future_does_not_kill_scheduler(model):
         assert victim.cancelled() or victim.done()
 
 
+def test_batch_failure_delivered_then_service_recovers(model, monkeypatch):
+    """A transcribe_many failure (e.g. a transient backend error) must fail
+    exactly the co-batched futures and leave the service serving."""
+    import whisper_at_tpu.serving as serving_mod
+
+    real = serving_mod.transcribe_many
+    state = {"fail": True}
+
+    def flaky(*a, **kw):
+        if state["fail"]:
+            state["fail"] = False
+            raise RuntimeError("simulated backend FAILED_PRECONDITION")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(serving_mod, "transcribe_many", flaky)
+    good = clip(2, 16)
+    with TranscriptionService(model, max_wait_s=0.3, **OPTS) as svc:
+        doomed = [svc.submit(clip(1, 17)), svc.submit(clip(1, 18))]
+        for f in doomed:
+            assert "simulated backend" in str(f.exception(timeout=300))
+        ok = svc.submit(good)
+        assert ok.result(timeout=300)["text"] == transcribe_many(
+            model, [good], **OPTS
+        )[0]["text"]
+        stats = svc.stats()
+    assert stats["failed"] == 2
+    assert stats["completed"] == 1
+
+
 def test_close_semantics(model):
     svc = TranscriptionService(model, max_wait_s=0.05, **OPTS)
     fut = svc.submit(clip(1, 11))
