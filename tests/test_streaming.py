@@ -173,3 +173,113 @@ def test_streaming_state_and_dtype_guards(model):
         sess.feed(np.zeros(100, np.float32))
     with pytest.raises(RuntimeError):
         sess.finish()
+
+
+# --------------------------------------------------------------------------- #
+# StreamingService: cross-session window batching
+# --------------------------------------------------------------------------- #
+
+def _nocond(opts):
+    o = dict(opts)
+    o["condition_on_previous_text"] = False
+    return o
+
+
+def test_streaming_service_parity_two_sessions(model):
+    """Two concurrent sessions through the service produce exactly what two
+    standalone conditioning-free sessions produce — batching never changes
+    per-window decode."""
+    import threading
+
+    from whisper_at_tpu.streaming import StreamingService
+
+    waves = [_clicky_audio(65, seed=3), _clicky_audio(65, seed=4)]
+
+    solo = []
+    for w in waves:
+        sess = StreamingTranscriber(model, **_nocond(OPTS))
+        sess.feed(w)
+        solo.append(sess.finish())
+
+    with StreamingService(model, max_wait_s=0.3) as service:
+        sessions = [service.open(**OPTS) for _ in waves]
+        results = [None, None]
+
+        def run(i):
+            # feed in two pieces so both sessions' window decodes queue
+            # near-simultaneously and the scheduler can coalesce them
+            mid = len(waves[i]) // 2
+            sessions[i].feed(waves[i][:mid])
+            sessions[i].feed(waves[i][mid:])
+            results[i] = sessions[i].finish()
+
+        threads = [threading.Thread(target=run, args=(i,))
+                   for i in range(len(waves))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        stats = service.stats()
+
+    float_keys = ("avg_logprob", "no_speech_prob", "compression_ratio")
+    for got, want in zip(results, solo):
+        assert got["text"] == want["text"]
+        assert len(got["segments"]) == len(want["segments"])
+        for g, w in zip(got["segments"], want["segments"]):
+            # decoding at a different batch size reassociates reductions:
+            # token-identical, probability fields to float tolerance
+            assert {k: v for k, v in g.items() if k not in float_keys} == \
+                {k: v for k, v in w.items() if k not in float_keys}
+            for k in float_keys:
+                np.testing.assert_allclose(g[k], w[k], rtol=1e-4)
+        np.testing.assert_allclose(got["audio_tag"], want["audio_tag"],
+                                   atol=2e-6)
+    assert stats["sessions"] == 2
+    # 2 sessions x 3 windows each (65 s): 6 window decodes; concurrency
+    # must have coalesced at least once
+    assert stats["windows"] == 6
+    assert stats["batches"] < 6
+    assert stats["max_batch_windows"] >= 2
+
+
+def test_streaming_service_single_session_works(model):
+    from whisper_at_tpu.streaming import StreamingService
+
+    wave = _clicky_audio(35, seed=5)
+    solo_sess = StreamingTranscriber(model, **_nocond(OPTS))
+    solo_sess.feed(wave)
+    want = solo_sess.finish()
+
+    with StreamingService(model, max_wait_s=0.01) as service:
+        sess = service.open(**OPTS)
+        sess.feed(wave)
+        got = sess.finish()
+
+    assert got["text"] == want["text"]
+    assert got["segments"] == want["segments"]
+
+
+def test_streaming_service_rejects_conditioning(model):
+    from whisper_at_tpu.streaming import StreamingService
+
+    with StreamingService(model) as service:
+        with pytest.raises(ValueError):
+            service.open(condition_on_previous_text=True, **OPTS)
+
+
+def test_streaming_service_close_fails_queued_windows(model):
+    from whisper_at_tpu.streaming import StreamingService
+
+    service = StreamingService(model)
+    sess = service.open(**OPTS)
+    service.close()
+    with pytest.raises(RuntimeError):
+        sess.feed(_clicky_audio(31, seed=6))
+    service.close()  # idempotent
+
+
+def test_streaming_service_top_level_export(model):
+    import whisper_at_tpu as wat
+    from whisper_at_tpu.streaming import StreamingService
+
+    assert wat.StreamingService is StreamingService

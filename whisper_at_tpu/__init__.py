@@ -24,7 +24,7 @@ from .decoding import DecodingOptions, DecodingResult, decode, detect_language
 from .models.dims import ModelDimensions, dims_for
 from .models.whisper import Whisper, build_model
 from .serving import TranscriptionService
-from .streaming import StreamingTranscriber
+from .streaming import StreamingService, StreamingTranscriber
 from .transcribe import transcribe, transcribe_batched, transcribe_many
 from .at_post_processing import parse_at_label, print_label_name, print_support_language
 from .registry import _ALIGNMENT_HEADS, _MODELS, _MODELS_AT

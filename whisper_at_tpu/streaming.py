@@ -112,6 +112,7 @@ class StreamingTranscriber:
         condition_on_previous_text: bool = True,
         initial_prompt: Optional[str] = None,
         at_time_res: float = 10,
+        decode_executor=None,
         **decode_options,
     ):
         if decode_options.pop("word_timestamps", False):
@@ -119,6 +120,10 @@ class StreamingTranscriber:
                 "word_timestamps is not supported in streaming sessions; "
                 "use transcribe() on the recorded audio instead"
             )
+        # decode_executor(window, options, temperature, gate) -> result:
+        # injected by StreamingService to route window decodes through its
+        # cross-session batcher; None = decode inline (the default ladder)
+        self._decode_executor = decode_executor
         self.model = model
         self.verbose = verbose
         self.temperature = temperature
@@ -276,10 +281,16 @@ class StreamingTranscriber:
                 self._thread = list(self._prompt_tokens)
 
         self.decode_options["prompt"] = self._thread[self._thread_live_from:]
-        result = _run_ladder(
-            lambda opts: self.model.decode(window, opts),
-            self.temperature, self.gate, self.decode_options,
-        )
+        if self._decode_executor is not None:
+            result = self._decode_executor(
+                window, dict(self.decode_options), self.temperature,
+                self.gate,
+            )
+        else:
+            result = _run_ladder(
+                lambda opts: self.model.decode(window, opts),
+                self.temperature, self.gate, self.decode_options,
+            )
         _tag_window(self.model, self.grid, self._seek, result,
                     self.at_time_res)
 
@@ -331,3 +342,202 @@ class StreamingTranscriber:
         if keep_from > self._buf_start:
             self._buf = self._buf[keep_from - self._buf_start:]
             self._buf_start = keep_from
+
+
+# -------------------------------------------------------------------------- #
+# multi-stream service: batch window decodes across concurrent sessions
+# -------------------------------------------------------------------------- #
+
+class _DecodeRequest:
+    __slots__ = ("window", "key", "options", "temperature", "gate", "future")
+
+    def __init__(self, window, key, options, temperature, gate, future):
+        self.window = window
+        self.key = key
+        self.options = options
+        self.temperature = temperature
+        self.gate = gate
+        self.future = future
+
+
+class StreamingService:
+    """Serve MANY live streams at batch efficiency on one device.
+
+    A lone `StreamingTranscriber` decodes each finalized 30 s window at
+    batch 1 — the least efficient decode mode on a TPU, where the step cost
+    is dominated by streaming the decoder weights/KV regardless of how many
+    rows ride along. This service multiplexes concurrent sessions: when
+    several streams finalize windows near-simultaneously (their `feed()`
+    calls run in their own threads), the scheduler stacks the windows and
+    decodes them as ONE batch through the same quality-ladder logic the
+    offline batched path uses (`transcribe._decode_windows_batched`), so N
+    live streams cost close to one stream's latency.
+
+    Windows from different sessions are independent, so batching never
+    changes results — but batching requires prompt-free windows, hence
+    sessions are opened with ``condition_on_previous_text=False`` (the same
+    trade the offline batched paths make). Each session still does its own
+    language detection, tag stitching, and segmentation.
+
+    >>> service = StreamingService(model)
+    >>> sess = service.open(language="en")      # per client connection
+    >>> segs = sess.feed(block)                 # from the client's thread
+    >>> service.close()
+    """
+
+    _CLOSED = object()
+
+    def __init__(self, model, *, max_batch: int = 24,
+                 max_wait_s: float = 0.02, mesh=None):
+        import threading
+        from collections import deque
+
+        self.model = model
+        self.max_batch = int(max_batch)
+        self.max_wait_s = float(max_wait_s)
+        self.mesh = mesh
+        self._pending = deque()
+        self._cv = threading.Condition()
+        self._closed = False
+        self._stats_lock = threading.Lock()
+        self._stats = dict(sessions=0, windows=0, batches=0,
+                           max_batch_windows=0)
+        self._thread = threading.Thread(
+            target=self._scheduler, name="wat-stream-scheduler", daemon=True
+        )
+        self._thread.start()
+
+    def open(self, **session_options) -> StreamingTranscriber:
+        """Create a session whose window decodes ride the shared batcher."""
+        if session_options.get("condition_on_previous_text"):
+            raise ValueError(
+                "condition_on_previous_text=True threads a per-stream "
+                "prompt into every window and cannot be batched across "
+                "sessions; use a standalone StreamingTranscriber for that"
+            )
+        session_options["condition_on_previous_text"] = False
+        with self._cv:
+            if self._closed:
+                raise RuntimeError("StreamingService is closed")
+        with self._stats_lock:
+            self._stats["sessions"] += 1
+        return StreamingTranscriber(
+            self.model, decode_executor=self._decode, **session_options
+        )
+
+    def stats(self) -> dict:
+        with self._stats_lock:
+            s = dict(self._stats)
+        s["pending"] = len(self._pending)
+        s["closed"] = self._closed
+        return s
+
+    def close(self):
+        """Stop the scheduler. In-flight decodes finish; sessions whose
+        windows are still queued get a RuntimeError from feed()."""
+        with self._cv:
+            if self._closed and not self._thread.is_alive():
+                return
+            self._closed = True
+            self._cv.notify_all()
+        self._thread.join()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # ------------------------------------------------------------------ #
+
+    def _decode(self, window, options, temperature, gate):
+        """The decode_executor injected into sessions: enqueue and wait."""
+        from concurrent.futures import Future
+
+        from .serving import _canonical_options
+
+        temperature = (tuple(temperature)
+                       if isinstance(temperature, (list, tuple))
+                       else (temperature,))
+        key = (_canonical_options(options), temperature,
+               gate.compression_ratio, gate.logprob, gate.no_speech)
+        fut = Future()
+        req = _DecodeRequest(window, key, options, temperature, gate, fut)
+        with self._cv:
+            if self._closed:
+                raise RuntimeError("StreamingService is closed")
+            self._pending.append(req)
+            self._cv.notify()
+        return fut.result()
+
+    def _take_batch(self):
+        import time
+        from collections import deque
+
+        from .serving import _settle
+
+        with self._cv:
+            while not self._pending:
+                if self._closed:
+                    return self._CLOSED
+                self._cv.wait()
+            if self._closed:
+                # fail queued windows instead of leaving their sessions
+                # blocked forever on fut.result()
+                while self._pending:
+                    _settle(self._pending.popleft().future,
+                            exception=RuntimeError(
+                                "StreamingService closed while the window "
+                                "was queued"))
+                return self._CLOSED
+            head = self._pending.popleft()
+        batch = [head]
+        deadline = time.monotonic() + self.max_wait_s
+        while len(batch) < self.max_batch:
+            with self._cv:
+                cands, keep = [], deque()
+                budget = self.max_batch - len(batch)
+                for r in self._pending:
+                    if r.key == head.key and len(cands) < budget:
+                        cands.append(r)
+                    else:
+                        keep.append(r)
+                self._pending = keep
+                if not cands:
+                    if self._closed:
+                        break
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0:
+                        break
+                    self._cv.wait(timeout=remaining)
+                    continue
+            batch.extend(cands)
+        return batch
+
+    def _scheduler(self):
+        from .serving import _settle
+        from .transcribe import _decode_windows_batched
+
+        while True:
+            batch = self._take_batch()
+            if batch is self._CLOSED:
+                return
+            head = batch[0]
+            try:
+                windows = jnp.stack([r.window for r in batch])
+                results = _decode_windows_batched(
+                    self.model, windows, head.temperature, head.gate,
+                    head.options, self.max_batch, self.mesh,
+                )
+            except Exception as exc:  # noqa: BLE001 — per-request delivery
+                for r in batch:
+                    _settle(r.future, exception=exc)
+                continue
+            with self._stats_lock:
+                s = self._stats
+                s["windows"] += len(batch)
+                s["batches"] += 1
+                s["max_batch_windows"] = max(s["max_batch_windows"],
+                                             len(batch))
+            for r, res in zip(batch, results):
+                _settle(r.future, result=res)
