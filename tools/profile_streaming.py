@@ -6,8 +6,15 @@ window's last sample arrives, how long until its transcript (and tags) are
 in hand? That is one window's mel + encode + decode + host assembly at
 batch 1 (plus the quality-ladder re-decodes when the gate rejects).
 
+--streams N runs N concurrent sessions through StreamingService (each in
+its own thread, like N client connections): the scheduler batches their
+window decodes, so per-stream finalize latency should stay near the
+1-stream number while aggregate throughput scales ~N× — THE multi-stream
+serving claim, measured.
+
 Usage:
   python tools/profile_streaming.py --size large-v1 --minutes 3
+  python tools/profile_streaming.py --size large-v1 --minutes 3 --streams 8
   python tools/profile_streaming.py --size tiny --minutes 2 --cpu   # smoke
 """
 
@@ -28,6 +35,9 @@ def main():
     parser.add_argument("--block-ms", type=int, default=250,
                         help="feed granularity (a mic callback cadence)")
     parser.add_argument("--sample-len", type=int, default=96)
+    parser.add_argument("--streams", type=int, default=1,
+                        help="concurrent sessions through StreamingService "
+                             "(1 = a single standalone session)")
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--realtime", action="store_true",
                         help="sleep between blocks to simulate a live mic "
@@ -47,44 +57,90 @@ def main():
                 logprob_threshold=None, compression_ratio_threshold=None,
                 no_speech_threshold=None, fp16=not args.cpu)
 
-    rng = np.random.default_rng(0)
-    n = int(16000 * 60 * args.minutes)
-    t = np.arange(n) / 16000.0
-    wave = (0.3 * np.sin(2 * np.pi * 220.0 * t)
-            + 0.05 * rng.standard_normal(n)).astype(np.float32)
+    def make_wave(seed):
+        rng = np.random.default_rng(seed)
+        n = int(16000 * 60 * args.minutes)
+        t = np.arange(n) / 16000.0
+        return (0.3 * np.sin(2 * np.pi * (220.0 + 10 * seed) * t)
+                + 0.05 * rng.standard_normal(n)).astype(np.float32)
 
-    # warmup session compiles the streaming mel + decode programs
-    warm = wat.StreamingTranscriber(model, **opts)
-    warm.feed(wave[: 16000 * 31])
-    warm.finish()
-
-    sess = wat.StreamingTranscriber(model, **opts)
     block = int(16000 * args.block_ms / 1000)
-    latencies, n_segments = [], 0
-    for lo in range(0, n, block):
-        piece = wave[lo:lo + block]
+
+    def drive(sess, wave, latencies):
+        """Feed one stream; record per-finalization latency."""
+        for lo in range(0, len(wave), block):
+            t0 = time.perf_counter()
+            segs = sess.feed(wave[lo:lo + block])
+            dt = time.perf_counter() - t0
+            if segs:
+                latencies.append(dt)
+            elif args.realtime:
+                time.sleep(max(0.0, args.block_ms / 1000 - dt))
         t0 = time.perf_counter()
-        segs = sess.feed(piece)
-        dt = time.perf_counter() - t0
-        if segs:
-            latencies.append(dt)
-            n_segments += len(segs)
-        elif args.realtime:
-            time.sleep(max(0.0, args.block_ms / 1000 - dt))
-    t0 = time.perf_counter()
-    result = sess.finish()
-    finish_s = time.perf_counter() - t0
-    n_segments = len(result["segments"])
+        result = sess.finish()
+        return result, time.perf_counter() - t0
+
+    if args.streams == 1:
+        # warmup session compiles the streaming mel + decode programs
+        warm = wat.StreamingTranscriber(model, **opts)
+        warm.feed(make_wave(99)[: 16000 * 31])
+        warm.finish()
+        latencies = []
+        t_start = time.perf_counter()
+        result, finish_s = drive(
+            wat.StreamingTranscriber(model, **opts), make_wave(0), latencies
+        )
+        wall = time.perf_counter() - t_start
+        n_segments = len(result["segments"])
+        stats_line = ""
+    else:
+        import threading
+
+        service = wat.StreamingService(model, max_wait_s=0.05)
+        warm = service.open(**opts)          # compile via the service path
+        warm.feed(make_wave(99)[: 16000 * 31])
+        warm.finish()
+
+        waves = [make_wave(i) for i in range(args.streams)]
+        sessions = [service.open(**opts) for _ in range(args.streams)]
+        latencies: list = []
+        finishes = []
+        t_start = time.perf_counter()
+
+        def run(i):
+            _, fin = drive(sessions[i], waves[i], latencies)
+            finishes.append(fin)
+
+        threads = [threading.Thread(target=run, args=(i,))
+                   for i in range(args.streams)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        wall = time.perf_counter() - t_start
+        finish_s = max(finishes)
+        n_segments = None
+        st = service.stats()
+        stats_line = (f"  service: {st['windows']} window decodes in "
+                      f"{st['batches']} batches "
+                      f"(max {st['max_batch_windows']}/batch)")
+        service.close()
 
     lat = sorted(latencies)
-    print(f"fed {args.minutes:.1f} min in {args.block_ms} ms blocks: "
-          f"{len(lat)} window finalizations, {n_segments} segments total")
+    total_audio = 60 * args.minutes * args.streams
+    print(f"{args.streams} stream(s), {args.minutes:.1f} min each, fed in "
+          f"{args.block_ms} ms blocks: {len(lat)} window finalizations"
+          + (f", {n_segments} segments" if n_segments is not None else ""))
+    if stats_line:
+        print(stats_line)
     if lat:
         print(f"window-finalize latency: p50 {lat[len(lat) // 2]:.3f}s  "
+              f"p95 {lat[int(len(lat) * 0.95) if len(lat) > 1 else 0]:.3f}s  "
               f"max {lat[-1]:.3f}s  (finish(): {finish_s:.3f}s)")
         rt_budget = 30.0  # a window spans 30 s of audio
         print(f"real-time headroom: {rt_budget / lat[-1]:.1f}x "
-              f"(worst window vs its 30 s budget)")
+              f"(worst window vs its 30 s budget); aggregate "
+              f"{total_audio / wall:.1f} audio-s/s over the drive")
 
 
 if __name__ == "__main__":
