@@ -45,10 +45,22 @@ def main():
                              "measure only the finalize latency)")
     args = parser.parse_args()
 
-    if args.cpu:
-        import jax
+    import jax
 
+    if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    # persistent compilation cache (bench.py's): the batch buckets
+    # (1/2/4/8/...) each compile their own decode programs — without the
+    # cache those compiles land inside the measured drive
+    try:
+        cache = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache")
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
 
     import whisper_at_tpu as wat
 
