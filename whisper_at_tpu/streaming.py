@@ -46,7 +46,6 @@ from .transcribe import (
     _geometry,
     _resolve_language,
     _run_ladder,
-    _tag_window,
     print_segment,
 )
 
@@ -145,6 +144,12 @@ class StreamingTranscriber:
 
         self._buf = np.zeros((0,), np.float32)
         self._pending: List[np.ndarray] = []  # fed, not yet joined to _buf
+        # (seek, device tags) per processed window: the TL-TR pass is
+        # dispatched async inside feed() and materialized only at finish()
+        # (nothing reads the grid mid-session) — one blocking D2H per
+        # window removed from the live path, same trick as the offline
+        # batched path's _stitch_tags_dispatch
+        self._tags_in_flight: List[Tuple[int, jnp.ndarray]] = []
         self._buf_start = 0          # absolute sample index of _buf[0]
         self._total_samples = 0      # absolute samples received
         self._seek = 0               # absolute mel-frame seek
@@ -217,6 +222,9 @@ class StreamingTranscriber:
             text = self._tokenizer.decode(
                 self._thread[len(self._prompt_tokens):]
             )
+        for seek, tags in self._tags_in_flight:
+            self.grid.write(seek, np.asarray(tags))
+        self._tags_in_flight = []
         return dict(
             text=text,
             segments=self.segments,
@@ -291,8 +299,11 @@ class StreamingTranscriber:
                 lambda opts: self.model.decode(window, opts),
                 self.temperature, self.gate, self.decode_options,
             )
-        _tag_window(self.model, self.grid, self._seek, result,
-                    self.at_time_res)
+        offset = self.grid.offset_in_window(self._seek)
+        self._tags_in_flight.append((self._seek, self.model.at_forward(
+            result.audio_features_for_at[:, offset:, :],
+            time_resolution=self.at_time_res,
+        )))
 
         if self.gate.is_silence(result):
             self._seek += segment_size
