@@ -245,9 +245,12 @@ def run_measurement(args):
         # is both the honest serving number and the better one
         from whisper_at_tpu.serving import TranscriptionService
 
+        import atexit
+
         svc_opts = {k: v for k, v in common.items() if k != "max_batch"}
         service = TranscriptionService(model, max_batch=args.batch,
                                        max_wait_s=0.05, **svc_opts)
+        atexit.register(service.close)
 
         def pipeline(pre):
             for f in [service.submit(a) for a in pre]:

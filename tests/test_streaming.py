@@ -201,7 +201,9 @@ def test_streaming_service_parity_two_sessions(model):
         sess.feed(w)
         solo.append(sess.finish())
 
-    with StreamingService(model, max_wait_s=0.3) as service:
+    # generous fill window: the assertion below is that coalescing HAPPENED,
+    # and a loaded CI machine can stall a thread's enqueue by hundreds of ms
+    with StreamingService(model, max_wait_s=2.0) as service:
         sessions = [service.open(**OPTS) for _ in waves]
         results = [None, None]
 

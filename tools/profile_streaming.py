@@ -79,14 +79,17 @@ def main():
     block = int(16000 * args.block_ms / 1000)
 
     def drive(sess, wave, latencies):
-        """Feed one stream; record per-finalization latency."""
+        """Feed one stream; record latency of every feed that processed a
+        window (seek advanced) — including silence/degenerate windows that
+        emit no segments but still cost a decode."""
         for lo in range(0, len(wave), block):
+            seek_before = sess._seek
             t0 = time.perf_counter()
-            segs = sess.feed(wave[lo:lo + block])
+            sess.feed(wave[lo:lo + block])
             dt = time.perf_counter() - t0
-            if segs:
+            if sess._seek > seek_before:
                 latencies.append(dt)
-            elif args.realtime:
+            if args.realtime:
                 time.sleep(max(0.0, args.block_ms / 1000 - dt))
         t0 = time.perf_counter()
         result = sess.finish()
@@ -112,6 +115,7 @@ def main():
         warm = service.open(**opts)          # compile via the service path
         warm.feed(make_wave(99)[: 16000 * 31])
         warm.finish()
+        warm_stats = service.stats()         # excluded from the drive's
 
         waves = [make_wave(i) for i in range(args.streams)]
         sessions = [service.open(**opts) for _ in range(args.streams)]
@@ -133,9 +137,10 @@ def main():
         finish_s = max(finishes)
         n_segments = None
         st = service.stats()
-        stats_line = (f"  service: {st['windows']} window decodes in "
-                      f"{st['batches']} batches "
-                      f"(max {st['max_batch_windows']}/batch)")
+        stats_line = (
+            f"  service: {st['windows'] - warm_stats['windows']} window "
+            f"decodes in {st['batches'] - warm_stats['batches']} batches "
+            f"(max {st['max_batch_windows']}/batch; warmup excluded)")
         service.close()
 
     lat = sorted(latencies)

@@ -61,6 +61,20 @@ def _canonical_options(options: dict) -> tuple:
     return tuple(items)
 
 
+def _scan_compatible(pending: deque, key, budget: int):
+    """One forward pass over a pending deque: pull up to ``budget`` requests
+    whose batching key matches, preserving order; returns (matches,
+    rebuilt_deque). Shared by TranscriptionService and StreamingService —
+    O(n) per batch-fill cycle, never a per-admission rescan."""
+    cands, keep = [], deque()
+    for r in pending:
+        if r.key == key and len(cands) < budget:
+            cands.append(r)
+        else:
+            keep.append(r)
+    return cands, keep
+
+
 def _settle(future: Future, *, result=None, exception=None) -> bool:
     """set_result/set_exception tolerant of a caller's concurrent cancel()
     (nothing marks these futures running, so cancel() can win any time
@@ -290,19 +304,10 @@ class TranscriptionService:
         deadline = time.monotonic() + self.max_wait_s
         while windows < self.max_batch:
             with self._cv:
-                # one forward pass: pull every compatible request (bounded
-                # by the window budget — each live request is >=1 window,
-                # zero-window empties are free riders) and rebuild the
-                # deque once; O(n) per cycle instead of a per-admission
-                # rescan, and submit() never waits on a long-held lock
-                cands, keep = [], deque()
-                budget = self.max_batch - windows
-                for r in self._pending:
-                    if r.key == head.key and len(cands) < budget:
-                        cands.append(r)
-                    else:
-                        keep.append(r)
-                self._pending = keep
+                # budget bound: each live request is >=1 window,
+                # zero-window empties are free riders
+                cands, self._pending = _scan_compatible(
+                    self._pending, head.key, self.max_batch - windows)
                 if not cands:
                     if self._closed:
                         break

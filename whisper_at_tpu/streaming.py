@@ -353,6 +353,18 @@ class StreamingTranscriber:
         if keep_from > self._buf_start:
             self._buf = self._buf[keep_from - self._buf_start:]
             self._buf_start = keep_from
+        # drain completed tag computations without blocking (writes must
+        # stay in seek order, so only pop from the front): a multi-hour
+        # session would otherwise hold one device buffer per 30 s window
+        # and pay every D2H serialized at finish()
+        while self._tags_in_flight:
+            seek, tags = self._tags_in_flight[0]
+            ready = getattr(tags, "is_ready", None)
+            done = ready() if ready is not None else False
+            if not done and len(self._tags_in_flight) <= 8:
+                break  # still computing and the backlog is small: stay async
+            self.grid.write(seek, np.asarray(tags))
+            self._tags_in_flight.pop(0)
 
 
 # -------------------------------------------------------------------------- #
@@ -483,9 +495,8 @@ class StreamingService:
 
     def _take_batch(self):
         import time
-        from collections import deque
 
-        from .serving import _settle
+        from .serving import _scan_compatible, _settle
 
         with self._cv:
             while not self._pending:
@@ -506,14 +517,8 @@ class StreamingService:
         deadline = time.monotonic() + self.max_wait_s
         while len(batch) < self.max_batch:
             with self._cv:
-                cands, keep = [], deque()
-                budget = self.max_batch - len(batch)
-                for r in self._pending:
-                    if r.key == head.key and len(cands) < budget:
-                        cands.append(r)
-                    else:
-                        keep.append(r)
-                self._pending = keep
+                cands, self._pending = _scan_compatible(
+                    self._pending, head.key, self.max_batch - len(batch))
                 if not cands:
                     if self._closed:
                         break
