@@ -402,3 +402,51 @@ def test_close_abort_skips_queued_prep(model, tmp_path):
 
 def test_top_level_export():
     assert wat.TranscriptionService is TranscriptionService
+
+
+def test_rolling_fill_coalesces_staggered_submits(model, monkeypatch):
+    """The batch-fill window is ROLLING: each compatible arrival extends it
+    by max_wait_s (capped at max_total_wait_s), so a saturated-load trickle
+    of submits — each within max_wait_s of the PREVIOUS arrival but far past
+    the head's fixed window — still lands in one batch."""
+    import threading
+    import whisper_at_tpu.serving as serving_mod
+
+    calls = []
+
+    def fake_transcribe_many(m, audios, max_batch=24, mesh=None, **options):
+        calls.append(len(audios))
+        return [dict(text="", segments=[], language="en",
+                     audio_tag=np.zeros((1, 1), np.float32),
+                     at_time_res=10.0) for _ in audios]
+
+    monkeypatch.setattr(serving_mod, "transcribe_many", fake_transcribe_many)
+
+    n, stagger = 4, 0.2
+    # head's own window is 0.6 s; arrivals at 0.2/0.4/0.6/... each buy
+    # another 0.6 s, so all n coalesce; a fixed window would split them
+    svc = TranscriptionService(model, max_wait_s=0.6, **OPTS)
+    try:
+        futs = [None] * n
+        start = threading.Barrier(n)
+
+        def submit(i):
+            start.wait()
+            import time
+            time.sleep(i * stagger)
+            futs[i] = svc.submit(clip(0.5, seed=i))
+
+        threads = [threading.Thread(target=submit, args=(i,))
+                   for i in range(n)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for f in futs:
+            f.result(timeout=30)
+        stats = svc.stats()
+    finally:
+        svc.close()
+    assert stats["completed"] == n
+    assert stats["batches"] == 1, (stats, calls)
+    assert calls == [n]

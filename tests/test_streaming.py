@@ -285,3 +285,84 @@ def test_streaming_service_top_level_export(model):
     from whisper_at_tpu.streaming import StreamingService
 
     assert wat.StreamingService is StreamingService
+
+
+def _fake_window_decoder(record):
+    """Stand-in for transcribe._decode_windows_batched: instant, counts
+    batch sizes, returns one opaque result per row."""
+    def fake(model, windows, temperature, gate, options, max_batch, mesh):
+        n = int(windows.shape[0])
+        record.append(n)
+        return [f"res{i}" for i in range(n)]
+    return fake
+
+
+def _drive_service_decodes(service, n, stagger):
+    """Submit n window-decode requests, each `stagger` seconds after the
+    previous, from their own threads (like n live sessions resubmitting
+    after a shared batch); returns the per-request results."""
+    import threading
+    import time
+    from types import SimpleNamespace
+
+    gate = SimpleNamespace(compression_ratio=None, logprob=None,
+                           no_speech=None)
+    results = [None] * n
+    start = threading.Barrier(n)
+
+    def run(i):
+        start.wait()
+        time.sleep(i * stagger)
+        results[i] = service._decode(
+            np.zeros((2, 2), np.float32), {"language": "en"}, (0.0,), gate
+        )
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    return results
+
+
+def test_streaming_service_rolling_fill_coalesces(model, monkeypatch):
+    """Arrivals spaced within max_wait_s of EACH OTHER (but beyond the
+    head's fixed window) coalesce into one batch under the rolling fill."""
+    import sys
+
+    from whisper_at_tpu.streaming import StreamingService
+    transcribe_mod = sys.modules["whisper_at_tpu.transcribe"]
+
+    batches = []
+    monkeypatch.setattr(transcribe_mod, "_decode_windows_batched",
+                        _fake_window_decoder(batches))
+
+    with StreamingService(model, max_wait_s=0.6) as service:
+        results = _drive_service_decodes(service, n=4, stagger=0.2)
+        stats = service.stats()
+    # one FIFO batch: request i sits at row i and gets row i's result
+    assert results == [f"res{i}" for i in range(4)]
+    assert stats["windows"] == 4
+    assert stats["batches"] == 1, (stats, batches)
+
+
+def test_streaming_service_rolling_fill_hard_cap(model, monkeypatch):
+    """max_total_wait_s bounds the rolling extension: a continuing trickle
+    cannot hold one batch open forever."""
+    import sys
+
+    from whisper_at_tpu.streaming import StreamingService
+    transcribe_mod = sys.modules["whisper_at_tpu.transcribe"]
+
+    batches = []
+    monkeypatch.setattr(transcribe_mod, "_decode_windows_batched",
+                        _fake_window_decoder(batches))
+
+    # every gap (0.2 s) is well inside max_wait_s, so only the 0.5 s hard
+    # cap can close the first batch before all 6 arrive
+    with StreamingService(model, max_wait_s=5.0,
+                          max_total_wait_s=0.5) as service:
+        _drive_service_decodes(service, n=6, stagger=0.2)
+        stats = service.stats()
+    assert stats["windows"] == 6
+    assert stats["batches"] >= 2, (stats, batches)

@@ -38,6 +38,12 @@ def main():
     parser.add_argument("--streams", type=int, default=1,
                         help="concurrent sessions through StreamingService "
                              "(1 = a single standalone session)")
+    parser.add_argument("--max-wait", type=float, default=0.05,
+                        help="service batch-fill window (s)")
+    parser.add_argument("--max-total-wait", type=float, default=None,
+                        help="rolling-fill hard cap (s); set equal to "
+                             "--max-wait to reproduce the fixed-window "
+                             "scheduler")
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--realtime", action="store_true",
                         help="sleep between blocks to simulate a live mic "
@@ -111,7 +117,10 @@ def main():
     else:
         import threading
 
-        service = wat.StreamingService(model, max_wait_s=0.05)
+        service = wat.StreamingService(
+            model, max_wait_s=args.max_wait,
+            max_total_wait_s=args.max_total_wait,
+        )
         warm = service.open(**opts)          # compile via the service path
         warm.feed(make_wave(99)[: 16000 * 31])
         warm.finish()

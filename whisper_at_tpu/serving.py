@@ -123,7 +123,14 @@ class TranscriptionService:
     max_batch: device window budget per dispatch (the measured v5e sweet
         spot is 24; see bench.py).
     max_wait_s: how long the scheduler holds an under-full batch open for
-        more compatible requests. Latency floor for a lone request.
+        more compatible requests. The fill window is ROLLING: every
+        compatible arrival extends it by another ``max_wait_s`` (so a
+        trickle of resubmits — the saturated-load arrival pattern, spread
+        by per-request host work — still coalesces), bounded by
+        ``max_total_wait_s``. Latency floor for a lone request stays
+        exactly ``max_wait_s``.
+    max_total_wait_s: hard cap on one batch's total fill time under the
+        rolling extension (default ``10 * max_wait_s``).
     prefetch: prep each request's audio (decode + STFT prep + async
         host->device transfer) in a thread pool at submit time. Disable
         only for debugging; results are identical either way.
@@ -136,7 +143,8 @@ class TranscriptionService:
     _CLOSED = object()
 
     def __init__(self, model, *, max_batch: int = DEFAULT_MAX_BATCH,
-                 max_wait_s: float = 0.05, prefetch: bool = True,
+                 max_wait_s: float = 0.05, max_total_wait_s: float = None,
+                 prefetch: bool = True,
                  prep_workers: int = 4, mesh=None, **default_options):
         if default_options.get("condition_on_previous_text"):
             raise ValueError(
@@ -146,6 +154,9 @@ class TranscriptionService:
         self.model = model
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_s)
+        self.max_total_wait_s = (10.0 * self.max_wait_s
+                                 if max_total_wait_s is None
+                                 else float(max_total_wait_s))
         self.mesh = mesh
         self.default_options = dict(default_options)
         self._prefetch = prefetch
@@ -301,6 +312,7 @@ class TranscriptionService:
         if not self._resolve(head):
             return [], head.key
         batch, windows = [head], head.windows
+        hard_deadline = time.monotonic() + self.max_total_wait_s
         deadline = time.monotonic() + self.max_wait_s
         while windows < self.max_batch:
             with self._cv:
@@ -316,6 +328,11 @@ class TranscriptionService:
                         break
                     self._cv.wait(timeout=remaining)
                     continue
+            # rolling fill window: an arrival buys the batch another
+            # max_wait_s (capped), so saturated-load resubmit trickles
+            # coalesce instead of closing the batch at head+max_wait_s
+            deadline = min(hard_deadline,
+                           time.monotonic() + self.max_wait_s)
             leftovers = []
             for i, nxt in enumerate(cands):
                 if windows >= self.max_batch:

@@ -411,13 +411,20 @@ class StreamingService:
     _CLOSED = object()
 
     def __init__(self, model, *, max_batch: int = 24,
-                 max_wait_s: float = 0.02, mesh=None):
+                 max_wait_s: float = 0.02, max_total_wait_s: float = None,
+                 mesh=None):
         import threading
         from collections import deque
 
         self.model = model
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_s)
+        # rolling fill window cap (see _take_batch): saturated streams
+        # resubmit spread over their per-window host work, so one fixed
+        # max_wait_s from the head misses most of the burst
+        self.max_total_wait_s = (10.0 * self.max_wait_s
+                                 if max_total_wait_s is None
+                                 else float(max_total_wait_s))
         self.mesh = mesh
         self._pending = deque()
         self._cv = threading.Condition()
@@ -514,6 +521,7 @@ class StreamingService:
                 return self._CLOSED
             head = self._pending.popleft()
         batch = [head]
+        hard_deadline = time.monotonic() + self.max_total_wait_s
         deadline = time.monotonic() + self.max_wait_s
         while len(batch) < self.max_batch:
             with self._cv:
@@ -528,6 +536,11 @@ class StreamingService:
                     self._cv.wait(timeout=remaining)
                     continue
             batch.extend(cands)
+            # rolling fill window: each arrival buys another max_wait_s
+            # (capped) — a lone window still waits exactly max_wait_s,
+            # but a saturated-load resubmit trickle coalesces
+            deadline = min(hard_deadline,
+                           time.monotonic() + self.max_wait_s)
         return batch
 
     def _scheduler(self):
