@@ -596,6 +596,9 @@ def main(argv=None):
     parser.add_argument("--port", type=int, default=8080)
     parser.add_argument("--max-batch", type=int, default=DEFAULT_MAX_BATCH)
     parser.add_argument("--max-wait-ms", type=float, default=50.0)
+    parser.add_argument("--max-total-wait-ms", type=float, default=None,
+                        help="rolling batch-fill hard cap (default "
+                             "10x --max-wait-ms)")
     parser.add_argument("--language", default=None)
     parser.add_argument("--random", action="store_true",
                         help="random weights (offline smoke serving)")
@@ -613,6 +616,9 @@ def main(argv=None):
         options["language"] = args.language
     with TranscriptionService(model, max_batch=args.max_batch,
                               max_wait_s=args.max_wait_ms / 1000.0,
+                              max_total_wait_s=(
+                                  None if args.max_total_wait_ms is None
+                                  else args.max_total_wait_ms / 1000.0),
                               **options) as service:
         print(f"serving {args.model} on http://{args.host}:{args.port} "
               f"(max_batch={args.max_batch})", flush=True)
