@@ -146,9 +146,88 @@ def test_streaming_subhop_language_matches_offline(model):
     assert out["language"] == off["language"]
 
 
-def test_streaming_rejects_word_timestamps(model):
-    with pytest.raises(ValueError):
-        StreamingTranscriber(model, word_timestamps=True)
+def test_streaming_word_timestamps_match_offline_alignment(model, monkeypatch):
+    """word_timestamps=True runs the offline `_attach_word_timings` per
+    finalized window (the batched path's semantics — no seek refinement)
+    against the right window mel and frame count.
+
+    Record each attach call's pre-alignment segments, then independently
+    replay the real alignment using a mel rebuilt through the session's
+    own mel path at that seek — a wrong window/num_frames in the
+    streaming integration would diverge here."""
+    import copy
+    import sys
+
+    from whisper_at_tpu.segmentation import clear_degenerate
+    from whisper_at_tpu.tokenizer import get_tokenizer
+
+    transcribe_mod = sys.modules["whisper_at_tpu.transcribe"]
+
+    audio = _clicky_audio(65, seed=8)
+    recorded = []
+    real_attach = transcribe_mod._attach_word_timings
+
+    def recording(model_, tokenizer_, segments, window, num_frames,
+                  prep, app):
+        recorded.append((copy.deepcopy(segments), num_frames, prep, app))
+        return real_attach(model_, tokenizer_, segments, window,
+                           num_frames, prep, app)
+
+    # streaming resolves it lazily from .transcribe inside _process_window
+    monkeypatch.setattr(transcribe_mod, "_attach_word_timings", recording)
+
+    wt_sess = StreamingTranscriber(model, word_timestamps=True,
+                                   **_nocond(OPTS))
+    wt_sess.feed(audio)
+    got = wt_sess.finish()
+
+    assert recorded, "no alignment calls were made"
+    assert any(s.get("words") for s in got["segments"]), \
+        "no words were attached"
+    for seg in got["segments"]:
+        for w in seg["words"]:
+            assert w["start"] <= w["end"]
+
+    # replay: the real alignment on the recorded pre-state with an
+    # independently rebuilt window mel, then the same degenerate clear
+    tokenizer = get_tokenizer(model.is_multilingual,
+                              language=got["language"], task="transcribe")
+    helper = StreamingTranscriber(model, **_nocond(OPTS))
+    helper._buf = audio
+    helper._total_samples = len(audio)
+    expect = []
+    for segs_pre, num_frames, prep, app in recorded:
+        helper._seek = segs_pre[0]["seek"]
+        window = helper._window_mel()
+        real_attach(model, tokenizer, segs_pre, window, num_frames,
+                    prep, app)
+        clear_degenerate(segs_pre)
+        expect.extend(segs_pre)
+    got_no_ids = [{k: v for k, v in s.items() if k != "id"}
+                  for s in got["segments"]]
+    assert got_no_ids == expect
+
+
+def test_streaming_service_session_word_timestamps(model):
+    """A service session with word_timestamps=True matches the standalone
+    session (the mel for such windows is computed in-session — alignment
+    needs it — while the decode still batches across sessions)."""
+    from whisper_at_tpu.streaming import StreamingService
+
+    audio = _clicky_audio(35, seed=9)
+    solo = StreamingTranscriber(model, word_timestamps=True, **_nocond(OPTS))
+    solo.feed(audio)
+    want = solo.finish()
+
+    with StreamingService(model, max_wait_s=0.01) as service:
+        sess = service.open(word_timestamps=True, **OPTS)
+        sess.feed(audio)
+        got = sess.finish()
+        stats = service.stats()
+
+    assert got["text"] == want["text"]
+    assert got["segments"] == want["segments"]
+    assert stats["mel_batched_windows"] == 0  # mels stayed in-session
 
 
 def test_streaming_int16_feed_matches_float(model):
@@ -242,6 +321,11 @@ def test_streaming_service_parity_two_sessions(model):
     assert stats["windows"] == 6
     assert stats["batches"] < 6
     assert stats["max_batch_windows"] >= 2
+    # every window after a session's first ships its raw piece and gets
+    # its mel computed batched in the scheduler (2 of 3 per session), and
+    # every scheduled batch runs >= 1 grouped TL-TR tag dispatch
+    assert stats["mel_batched_windows"] == 4
+    assert stats["tag_groups"] >= stats["batches"]
 
 
 def test_streaming_service_single_session_works(model):

@@ -192,6 +192,26 @@ def prefetch_stft_input(audio, padding: int = 0) -> PrefetchedAudio:
     return PrefetchedAudio(jax.device_put(sig), n_frames, padding)
 
 
+@functools.partial(jax.jit, static_argnums=(2,))
+def mel_stream_pieces(sigs: jnp.ndarray, n_valid: jnp.ndarray,
+                      lead: int) -> jax.Array:
+    """Batched window mel for same-length streaming pieces.
+
+    sigs: [N, L] `_stft_host_prep(exact=True)`-prepared window pieces from
+    N concurrent streaming sessions (one 30 s window each, same margin
+    geometry); n_valid: [N] true frame counts; lead: frames to drop at the
+    head (the alignment margin — see streaming.StreamingTranscriber).
+    Returns [N, 80, N_FRAMES] decode windows, each identical to the
+    session-inline `log_mel_spectrogram_jax(piece, exact=True)` slice.
+    One dispatch per GROUP of concurrent sessions replaces N batch-1 mel
+    chains — the streaming analogue of `mel_windows_many` below.
+    """
+    bucket = sigs.shape[1] // HOP_LENGTH - 2
+    mels = jax.vmap(lambda s: _mel_power(s, bucket))(sigs)   # [N, F, 80]
+    logs = jax.vmap(_log_normalize)(mels, n_valid)           # [N, F, 80]
+    return logs[:, lead:lead + N_FRAMES].transpose(0, 2, 1)  # [N, 80, 3000]
+
+
 @jax.jit
 def mel_windows_many(sigs: jnp.ndarray, n_valid: jnp.ndarray) -> jax.Array:
     """Batched mel -> 30 s decode windows for same-bucket prepped signals.

@@ -22,6 +22,7 @@ within 8 decades of the recording's maximum produce bit-identical mels
 import math
 from typing import List, Optional, Tuple, Union
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -32,7 +33,7 @@ from .audio import (
     N_SAMPLES,
     SAMPLE_RATE,
 )
-from .ops.mel import log_mel_spectrogram_jax
+from .ops.mel import _stft_host_prep, log_mel_spectrogram_jax
 from .segmentation import (
     N_TAG_CLASSES,
     QualityGate,
@@ -43,6 +44,7 @@ from .segmentation import (
 )
 from .tokenizer import get_tokenizer
 from .transcribe import (
+    _batch_bucket,
     _geometry,
     _resolve_language,
     _run_ladder,
@@ -93,8 +95,13 @@ class StreamingTranscriber:
     remaining tail (padded with silence, exactly like the offline seek
     loop's final window) and returns the full transcribe()-shaped result.
 
-    Word timestamps are not supported in streaming sessions (the offline
-    path's seek refinement may re-read frames a stream has discarded).
+    ``word_timestamps=True`` attaches per-word timings to every segment
+    with the BATCHED offline path's semantics (`transcribe_batched`): the
+    window's text is aligned against its own mel (cross-attention DTW) the
+    moment the window finalizes, but the seek is NOT refined to the last
+    word's end — the sequential path's refinement can re-read frames a
+    live stream has already discarded. Each finalized window pays one
+    extra alignment forward (batch 1) in the session's thread.
     """
 
     def __init__(
@@ -111,13 +118,21 @@ class StreamingTranscriber:
         condition_on_previous_text: bool = True,
         initial_prompt: Optional[str] = None,
         at_time_res: float = 10,
+        word_timestamps: bool = False,
+        prepend_punctuations: str = "\"'“¿([{-",
+        append_punctuations: str = "\"'.。,，!！?？:：”)]}、",
         decode_executor=None,
         **decode_options,
     ):
-        if decode_options.pop("word_timestamps", False):
-            raise ValueError(
-                "word_timestamps is not supported in streaming sessions; "
-                "use transcribe() on the recorded audio instead"
+        self.word_timestamps = word_timestamps
+        self.prepend_punctuations = prepend_punctuations
+        self.append_punctuations = append_punctuations
+        if word_timestamps and decode_options.get("task") == "translate":
+            import warnings
+
+            warnings.warn(
+                "Word-level timestamps on translations may not be "
+                "reliable.", stacklevel=2,
             )
         # decode_executor(window, options, temperature, gate) -> result:
         # injected by StreamingService to route window decodes through its
@@ -237,8 +252,8 @@ class StreamingTranscriber:
     # internals
     # ------------------------------------------------------------------ #
 
-    def _window_mel(self) -> jnp.ndarray:
-        """[80, N_FRAMES] mel for the window at the current seek.
+    def _window_piece(self) -> Tuple[np.ndarray, int]:
+        """(waveform piece, lead margin frames) for the window at the seek.
 
         Sliced with a two-frame margin so every frame the decoder sees is
         computed from true neighboring samples (bit-identical to the
@@ -260,6 +275,11 @@ class StreamingTranscriber:
             piece = np.concatenate([
                 piece, np.zeros(end - start - len(piece), np.float32)
             ])
+        return piece, lead_frames
+
+    def _window_mel(self) -> jnp.ndarray:
+        """[80, N_FRAMES] mel for the window at the current seek."""
+        piece, lead_frames = self._window_piece()
         # exact=True: the ~3004-frame piece would otherwise bucket to a 60 s
         # mel — 2x the FLOPs for frames nothing reads. Two compiled programs
         # per session: the first window has no lead margin (lead_frames=0),
@@ -268,7 +288,16 @@ class StreamingTranscriber:
         return mel[:, lead_frames:lead_frames + N_FRAMES]
 
     def _process_window(self, final: bool) -> List[dict]:
-        window = self._window_mel()
+        piece, lead_frames = self._window_piece()
+        # the first window of a session needs its mel locally (language
+        # detection below runs before the decode); steady-state windows
+        # under a service ship the raw prepped piece instead so the
+        # service computes the mel BATCHED across concurrent sessions
+        window = None
+        if (self._decode_executor is None or self._tokenizer is None
+                or self.word_timestamps):  # alignment reads the window mel
+            mel = log_mel_spectrogram_jax(piece, padding=0, exact=True)
+            window = mel[:, lead_frames:lead_frames + N_FRAMES]
         content_frames = (self._total_samples // HOP_LENGTH if final
                           else self._seek + N_FRAMES)
         segment_size = min(N_FRAMES, content_frames - self._seek)
@@ -289,21 +318,29 @@ class StreamingTranscriber:
                 self._thread = list(self._prompt_tokens)
 
         self.decode_options["prompt"] = self._thread[self._thread_live_from:]
+        offset = self.grid.offset_in_window(self._seek)
         if self._decode_executor is not None:
-            result = self._decode_executor(
+            prepped = None
+            if window is None:
+                # host prep + async H2D dispatch from THIS (client) thread:
+                # the scheduler thread only stacks device arrays
+                sig_np, n_frames = _stft_host_prep(piece, 0, exact=True)
+                prepped = (jax.device_put(sig_np), n_frames, lead_frames)
+            result, tags = self._decode_executor(
                 window, dict(self.decode_options), self.temperature,
-                self.gate,
+                self.gate, piece=prepped, at_offset=offset,
+                at_time_res=self.at_time_res,
             )
         else:
             result = _run_ladder(
                 lambda opts: self.model.decode(window, opts),
                 self.temperature, self.gate, self.decode_options,
             )
-        offset = self.grid.offset_in_window(self._seek)
-        self._tags_in_flight.append((self._seek, self.model.at_forward(
-            result.audio_features_for_at[:, offset:, :],
-            time_resolution=self.at_time_res,
-        )))
+            tags = self.model.at_forward(
+                result.audio_features_for_at[:, offset:, :],
+                time_resolution=self.at_time_res,
+            )
+        self._tags_in_flight.append((self._seek, tags))
 
         if self.gate.is_silence(result):
             self._seek += segment_size
@@ -333,6 +370,14 @@ class StreamingTranscriber:
             )
             for start, end, toks in parse.pieces
         ]
+        if self.word_timestamps and new_segments:
+            from .transcribe import _attach_word_timings
+
+            _attach_word_timings(
+                self.model, self._tokenizer, new_segments, window,
+                segment_size, self.prepend_punctuations,
+                self.append_punctuations,
+            )
         clear_degenerate(new_segments)
         base_id = (self.segments[-1]["id"] + 1) if self.segments else 0
         for i, seg in enumerate(new_segments):
@@ -372,15 +417,23 @@ class StreamingTranscriber:
 # -------------------------------------------------------------------------- #
 
 class _DecodeRequest:
-    __slots__ = ("window", "key", "options", "temperature", "gate", "future")
+    __slots__ = ("window", "key", "options", "temperature", "gate", "future",
+                 "piece", "at_offset", "at_time_res")
 
-    def __init__(self, window, key, options, temperature, gate, future):
-        self.window = window
+    def __init__(self, window, key, options, temperature, gate, future,
+                 piece=None, at_offset=None, at_time_res=None):
+        self.window = window          # [80, N_FRAMES] mel, or None when the
+        self.piece = piece            # raw prepped piece rides instead:
+        #                               (device sig, n_frames, lead_frames)
         self.key = key
         self.options = options
         self.temperature = temperature
         self.gate = gate
         self.future = future
+        # when set, the scheduler also runs the TL-TR tag pass (batched
+        # across the co-scheduled rows) and resolves (result, tags)
+        self.at_offset = at_offset
+        self.at_time_res = at_time_res
 
 
 class StreamingService:
@@ -399,8 +452,12 @@ class StreamingService:
     Windows from different sessions are independent, so batching never
     changes results — but batching requires prompt-free windows, hence
     sessions are opened with ``condition_on_previous_text=False`` (the same
-    trade the offline batched paths make). Each session still does its own
-    language detection, tag stitching, and segmentation.
+    trade the offline batched paths make). The window MEL and the TL-TR tag
+    pass batch across sessions too (steady-state windows ship the raw
+    prepped piece; the scheduler computes mels in one dispatch per group
+    and tag logits in one dispatch per offset/resolution group), so the
+    only per-session device work left is the first window's language
+    detection. Segmentation and tag stitching stay per-session host work.
 
     >>> service = StreamingService(model)
     >>> sess = service.open(language="en")      # per client connection
@@ -431,7 +488,8 @@ class StreamingService:
         self._closed = False
         self._stats_lock = threading.Lock()
         self._stats = dict(sessions=0, windows=0, batches=0,
-                           max_batch_windows=0)
+                           max_batch_windows=0, mel_batched_windows=0,
+                           tag_groups=0)
         self._thread = threading.Thread(
             target=self._scheduler, name="wat-stream-scheduler", daemon=True
         )
@@ -480,8 +538,17 @@ class StreamingService:
 
     # ------------------------------------------------------------------ #
 
-    def _decode(self, window, options, temperature, gate):
-        """The decode_executor injected into sessions: enqueue and wait."""
+    def _decode(self, window, options, temperature, gate, *,
+                piece=None, at_offset=None, at_time_res=None):
+        """The decode_executor injected into sessions: enqueue and wait.
+
+        `window` is a ready [80, N_FRAMES] mel, or None with `piece` set to
+        a `(device sig, n_frames, lead)` prepped waveform — the scheduler
+        then computes the mel batched with every co-scheduled piece. When
+        `at_offset` is given, the scheduler also runs the TL-TR tag pass
+        (batched across rows sharing the offset/resolution) and the call
+        returns `(result, tags)`; otherwise it returns the bare result.
+        """
         from concurrent.futures import Future
 
         from .serving import _canonical_options
@@ -492,7 +559,9 @@ class StreamingService:
         key = (_canonical_options(options), temperature,
                gate.compression_ratio, gate.logprob, gate.no_speech)
         fut = Future()
-        req = _DecodeRequest(window, key, options, temperature, gate, fut)
+        req = _DecodeRequest(window, key, options, temperature, gate, fut,
+                             piece=piece, at_offset=at_offset,
+                             at_time_res=at_time_res)
         with self._cv:
             if self._closed:
                 raise RuntimeError("StreamingService is closed")
@@ -543,6 +612,69 @@ class StreamingService:
                            time.monotonic() + self.max_wait_s)
         return batch
 
+    def _materialize_windows(self, batch):
+        """[N, 80, N_FRAMES] decode windows for one scheduled batch.
+
+        Mel-carrying rows stack directly; piece-carrying rows (the steady
+        state — every window after a session's first) compute their mels
+        in ONE `mel_stream_pieces` dispatch per (length, lead) group,
+        replacing N batch-1 mel chains. Group sizes are padded up the
+        decode path's batch-bucket ladder (repeating the last row) so a
+        fluctuating number of concurrent streams reuses a handful of
+        compiled programs instead of compiling one per distinct count —
+        a cold large-v1 compile over the tunnel costs tens of seconds."""
+        from .ops.mel import mel_stream_pieces
+
+        rows = [r.window for r in batch]
+        groups = {}
+        for i, r in enumerate(batch):
+            if r.piece is not None:
+                sig, _, lead = r.piece
+                groups.setdefault((sig.shape[0], lead), []).append(i)
+        for (_, lead), idxs in groups.items():
+            bucket = _batch_bucket(len(idxs), self.max_batch)
+            pad = [idxs[-1]] * (bucket - len(idxs))
+            sigs = jnp.stack([batch[i].piece[0] for i in idxs + pad])
+            n_valid = jnp.asarray(
+                [batch[i].piece[1] for i in idxs + pad], jnp.int32)
+            wins = mel_stream_pieces(sigs, n_valid, lead)
+            for j, i in enumerate(idxs):
+                rows[i] = wins[j]
+        return jnp.stack(rows), sum(len(v) for v in groups.values())
+
+    def _bucketed_at_forward(self, feats, offset, time_res):
+        """at_forward over [G, L, T, D] with G padded up the batch-bucket
+        ladder (same compile-count rationale as _materialize_windows)."""
+        g = feats.shape[0]
+        bucket = _batch_bucket(g, self.max_batch)
+        if bucket > g:
+            feats = jnp.concatenate(
+                [feats, jnp.repeat(feats[-1:], bucket - g, axis=0)]
+            )
+        out = self.model.at_forward(
+            feats[:, :, offset:, :], time_resolution=time_res
+        )
+        return out[:g]
+
+    def _batched_tags(self, batch, results):
+        """TL-TR tag logits for the rows that asked (at_offset set), one
+        `at_forward` dispatch per (offset, resolution) group instead of
+        one per session. Returns a per-row list (None where not asked);
+        the device work is dispatched async — nothing here blocks."""
+        tags = [None] * len(batch)
+        groups = {}
+        for i, r in enumerate(batch):
+            if r.at_offset is not None:
+                groups.setdefault((r.at_offset, r.at_time_res), []).append(i)
+        for (offset, time_res), idxs in groups.items():
+            feats = jnp.stack(
+                [results[i].audio_features_for_at for i in idxs]
+            )  # [G, L, T, D]
+            out = self._bucketed_at_forward(feats, offset, time_res)
+            for j, i in enumerate(idxs):
+                tags[i] = out[j]
+        return tags, len(groups)
+
     def _scheduler(self):
         from .serving import _settle
         from .transcribe import _decode_windows_batched
@@ -553,11 +685,12 @@ class StreamingService:
                 return
             head = batch[0]
             try:
-                windows = jnp.stack([r.window for r in batch])
+                windows, n_mel_batched = self._materialize_windows(batch)
                 results = _decode_windows_batched(
                     self.model, windows, head.temperature, head.gate,
                     head.options, self.max_batch, self.mesh,
                 )
+                tags, n_tag_groups = self._batched_tags(batch, results)
             except Exception as exc:  # noqa: BLE001 — per-request delivery
                 for r in batch:
                     _settle(r.future, exception=exc)
@@ -568,5 +701,8 @@ class StreamingService:
                 s["batches"] += 1
                 s["max_batch_windows"] = max(s["max_batch_windows"],
                                              len(batch))
-            for r, res in zip(batch, results):
-                _settle(r.future, result=res)
+                s["mel_batched_windows"] += n_mel_batched
+                s["tag_groups"] += n_tag_groups
+            for r, res, tg in zip(batch, results, tags):
+                _settle(r.future,
+                        result=(res, tg) if r.at_offset is not None else res)
