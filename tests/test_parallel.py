@@ -221,3 +221,43 @@ def test_tensor_parallel_decode_matches_single_device(devices_ok):
 
     got_b = decode(tp_model, mel[0], DecodingOptions(**base, beam_size=2))
     assert got_b.tokens == ref_b.tokens
+
+
+def test_pipeline_parallel_encoder_matches_single_device(devices_ok):
+    """GPipe-scheduled encoder over a 4-stage 'pp' mesh returns the same
+    hidden states and pooled taps as the single-device encoder (the
+    schedule only moves WHICH device computes a block)."""
+    from whisper_at_tpu.models.dims import ModelDimensions
+    from whisper_at_tpu.models.encoder import encoder_apply, init_encoder
+    from whisper_at_tpu.parallel.pipeline import (
+        encoder_apply_pp,
+        make_pp_mesh,
+    )
+
+    dims = ModelDimensions(
+        n_mels=80, n_audio_ctx=1500, n_audio_state=64, n_audio_head=4,
+        n_audio_layer=4, n_vocab=100, n_text_ctx=448, n_text_head=4,
+        n_text_state=64, n_text_layer=2,
+    )
+    params = init_encoder(jax.random.PRNGKey(0), dims)
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.standard_normal((4, 80, 3000)), jnp.float32)
+
+    x0, taps0 = encoder_apply(params, mel, dims.n_audio_head,
+                              attn_impl="off")
+    mesh = make_pp_mesh(4)
+    x1, taps1 = encoder_apply_pp(params, mel, mesh, dims.n_audio_head)
+    assert x1.shape == x0.shape and taps1.shape == taps0.shape
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x0),
+                               rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(taps1), np.asarray(taps0),
+                               rtol=0, atol=1e-5)
+
+    # fewer microbatches than stages still schedules correctly (bigger
+    # bubble, same math)
+    x2, taps2 = encoder_apply_pp(params, mel, mesh, dims.n_audio_head,
+                                 n_micro=2)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x0),
+                               rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(taps2), np.asarray(taps0),
+                               rtol=0, atol=1e-5)
