@@ -450,3 +450,87 @@ def test_rolling_fill_coalesces_staggered_submits(model, monkeypatch):
     assert stats["completed"] == n
     assert stats["batches"] == 1, (stats, calls)
     assert calls == [n]
+
+
+def test_http_stream_endpoint(model):
+    """POST /v1/stream: chunked raw-PCM16 request in, NDJSON segments out
+    the moment each 30 s window finalizes — driven over a real socket, with
+    the first segment read back BEFORE the upload finishes (live emission),
+    and results identical to a standalone conditioning-free session."""
+    import http.client
+    import threading
+
+    from whisper_at_tpu.streaming import (
+        StreamingService,
+        StreamingTranscriber,
+    )
+
+    audio = clip(35, seed=13)
+    pcm = (np.clip(audio, -1, 1) * 32767.0).astype(np.int16)
+
+    solo = StreamingTranscriber(model, condition_on_previous_text=False,
+                                **OPTS)
+    solo.feed(pcm)
+    want = solo.finish()
+    assert want["segments"], "fixture produced no segments"
+
+    with TranscriptionService(model, max_wait_s=0.02, **OPTS) as svc, \
+            StreamingService(model, max_wait_s=0.02, **OPTS) as stream_svc:
+        server = make_http_server(svc, "127.0.0.1", 0,
+                                  stream_service=stream_svc)
+        port = server.server_address[1]
+        thread = threading.Thread(target=server.serve_forever, daemon=True)
+        thread.start()
+        try:
+            conn = http.client.HTTPConnection("127.0.0.1", port,
+                                              timeout=600)
+            conn.putrequest("POST", "/v1/stream?tags=3")
+            conn.putheader("Transfer-Encoding", "chunked")
+            conn.putheader("Content-Type", "audio/pcm16")
+            conn.endheaders()
+
+            raw = pcm.tobytes()
+
+            def send_chunk(data):
+                conn.sock.sendall(b"%x\r\n" % len(data) + data + b"\r\n")
+
+            # 32 s first: covers one full window (+ alignment margin), so
+            # a segment must stream back while the upload is still open
+            head = 32 * 16000 * 2
+            for lo in range(0, head, 65536):
+                send_chunk(raw[lo:lo + 65536])
+            resp = conn.getresponse()
+            assert resp.status == 200
+            assert resp.headers["Content-Type"] == "application/x-ndjson"
+            first = json.loads(resp.readline())
+            assert first["text"] == want["segments"][0]["text"]
+            assert first["tokens"] == want["segments"][0]["tokens"]
+
+            for lo in range(head, len(raw), 65536):
+                send_chunk(raw[lo:lo + 65536])
+            conn.sock.sendall(b"0\r\n\r\n")
+
+            lines = [json.loads(ln) for ln in resp.read().split(b"\n") if ln]
+            conn.close()
+        finally:
+            server.shutdown()
+            server.server_close()
+            thread.join()
+
+    summary = lines[-1]
+    segments = [first] + lines[:-1]
+    assert summary["done"] is True
+    assert summary["text"] == want["text"]
+    assert summary["language"] == want["language"]
+    assert summary["audio_tags"][0]["audio tags"]  # parsed top-3 labels
+    assert [s["tokens"] for s in segments] == \
+        [s["tokens"] for s in want["segments"]]
+    assert [s["text"] for s in segments] == \
+        [s["text"] for s in want["segments"]]
+    np.testing.assert_allclose(
+        [(s["start"], s["end"]) for s in segments],
+        [(s["start"], s["end"]) for s in want["segments"]],
+    )
+    # the live sessions rode the shared batcher (decode + mel + tags)
+    st = stream_svc.stats()
+    assert st["windows"] >= 2 and st["mel_batched_windows"] >= 1

@@ -481,7 +481,7 @@ def _decode_wav_bytes(body: bytes) -> np.ndarray:
 
 def make_http_server(service: TranscriptionService, host: str = "127.0.0.1",
                      port: int = 0, max_body_bytes: int = 512 << 20,
-                     path_root: Optional[str] = None):
+                     path_root: Optional[str] = None, stream_service=None):
     """Build (without starting) a ThreadingHTTPServer bound to the service.
 
     Routes:
@@ -490,6 +490,15 @@ def make_http_server(service: TranscriptionService, host: str = "127.0.0.1",
            body: WAV bytes, or JSON {"path": "/local/file"}; options via
            query string (see _PARAM_TYPES); ``tags=k`` adds top-k parsed
            label names per segment via parse_at_label.
+      POST /v1/stream        -> 200 NDJSON live transcription (requires
+           ``stream_service``, a streaming.StreamingService): the request
+           body is raw mono 16 kHz int16 PCM ("audio/pcm16"), sent with
+           Transfer-Encoding: chunked or a plain Content-Length; segments
+           stream back the moment their 30 s window finalizes, one JSON
+           object per line, ending with a {"done": true, ...} summary.
+           Handler threads feed per-connection StreamingTranscriber
+           sessions, so concurrent live connections batch their window
+           decodes/mels/tags on the device.
 
     Bodies over ``max_body_bytes`` (default 512 MB ≈ 4.5 h of 16 kHz WAV)
     get 413 without being read. The JSON ``path`` mode reads server-local
@@ -501,6 +510,10 @@ def make_http_server(service: TranscriptionService, host: str = "127.0.0.1",
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     class Handler(BaseHTTPRequestHandler):
+        # HTTP/1.1: required for chunked responses on /v1/stream (every
+        # non-stream response carries Content-Length, so keep-alive works)
+        protocol_version = "HTTP/1.1"
+
         def _send(self, code: int, payload: dict):
             body = json.dumps(payload).encode()
             self.send_response(code)
@@ -514,12 +527,113 @@ def make_http_server(service: TranscriptionService, host: str = "127.0.0.1",
 
         def do_GET(self):
             if self.path.split("?")[0] == "/healthz":
-                self._send(200, dict(status="ok", **service.stats()))
+                payload = dict(status="ok", **service.stats())
+                if stream_service is not None:
+                    payload["stream"] = stream_service.stats()
+                self._send(200, payload)
             else:
                 self._send(404, {"error": "not found"})
 
+        # ------------------------- /v1/stream ------------------------- #
+
+        def _iter_request_body(self):
+            """Yield raw body pieces as they arrive (chunked or plain)."""
+            te = (self.headers.get("Transfer-Encoding") or "").lower()
+            total = 0
+            if "chunked" in te:
+                while True:
+                    line = self.rfile.readline(34)
+                    size = int(line.strip().split(b";")[0], 16)
+                    if size == 0:
+                        while True:  # swallow trailers up to the blank line
+                            tail = self.rfile.readline(1024)
+                            if tail in (b"\r\n", b"\n", b""):
+                                return
+                    total += size
+                    if total > max_body_bytes:
+                        raise ValueError("body exceeds max_body_bytes")
+                    data = self.rfile.read(size)
+                    self.rfile.read(2)  # chunk-terminating CRLF
+                    yield data
+            else:
+                remaining = int(self.headers.get("Content-Length", 0))
+                if remaining > max_body_bytes:
+                    raise ValueError("body exceeds max_body_bytes")
+                while remaining > 0:
+                    piece = self.rfile.read(min(65536, remaining))
+                    if not piece:
+                        return
+                    remaining -= len(piece)
+                    yield piece
+
+        def _write_chunk(self, payload: dict):
+            data = json.dumps(payload).encode() + b"\n"
+            self.wfile.write(b"%x\r\n" % len(data) + data + b"\r\n")
+            self.wfile.flush()
+
+        def _do_stream(self, query: str):
+            if stream_service is None:
+                self._send(404, {"error": "streaming is not enabled on "
+                                          "this server"})
+                return
+            try:
+                options, http_opts = _coerce_params(query)
+            except ValueError as exc:
+                self._send(400, {"error": str(exc)})
+                return
+            ctype = (self.headers.get("Content-Type") or "").split(";")[0]
+            if ctype not in ("", "audio/pcm16",
+                             "application/octet-stream"):
+                self._send(415, {"error": "stream body must be raw mono "
+                                          "16 kHz int16 PCM (audio/pcm16)"})
+                return
+            try:
+                sess = stream_service.open(**options)
+            except (TypeError, ValueError, RuntimeError) as exc:
+                self._send(400, {"error": str(exc)})
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "application/x-ndjson")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+            emitted = 0
+            try:
+                carry = b""
+                for piece in self._iter_request_body():
+                    carry += piece
+                    usable = len(carry) & ~1  # int16 frames only
+                    if not usable:
+                        continue
+                    pcm = np.frombuffer(carry[:usable], np.int16)
+                    carry = carry[usable:]
+                    for seg in sess.feed(pcm):
+                        emitted += 1
+                        self._write_chunk(_jsonable(seg))
+                result = sess.finish()
+                for seg in result["segments"][emitted:]:
+                    self._write_chunk(_jsonable(seg))
+                summary = dict(done=True, text=result["text"],
+                               language=result["language"])
+                if http_opts.get("tags"):
+                    from .at_post_processing import parse_at_label
+
+                    summary["audio_tags"] = _jsonable(parse_at_label(
+                        result, top_k=http_opts["tags"],
+                        language=http_opts.get("tag_language",
+                                               "follow_asr"),
+                    ))
+                self._write_chunk(summary)
+            except Exception as exc:  # noqa: BLE001 — headers already sent
+                self._write_chunk({"error": str(exc)})
+            finally:
+                self.wfile.write(b"0\r\n\r\n")
+                self.wfile.flush()
+
         def do_POST(self):
             path, _, query = self.path.partition("?")
+            if path == "/v1/stream":
+                self._do_stream(query)
+                return
             if path != "/v1/transcribe":
                 self._send(404, {"error": "not found"})
                 return
@@ -574,9 +688,11 @@ def make_http_server(service: TranscriptionService, host: str = "127.0.0.1",
 
 
 def serve_http(service: TranscriptionService, host: str = "127.0.0.1",
-               port: int = 8080, path_root: Optional[str] = None):
+               port: int = 8080, path_root: Optional[str] = None,
+               stream_service=None):
     """Run the HTTP front-end until interrupted."""
-    server = make_http_server(service, host, port, path_root=path_root)
+    server = make_http_server(service, host, port, path_root=path_root,
+                              stream_service=stream_service)
     try:
         server.serve_forever()
     finally:
@@ -614,16 +730,25 @@ def main(argv=None):
     options = {}
     if args.language:
         options["language"] = args.language
+    from .streaming import StreamingService
+
     with TranscriptionService(model, max_batch=args.max_batch,
                               max_wait_s=args.max_wait_ms / 1000.0,
                               max_total_wait_s=(
                                   None if args.max_total_wait_ms is None
                                   else args.max_total_wait_ms / 1000.0),
-                              **options) as service:
+                              **options) as service, \
+            StreamingService(model, max_batch=args.max_batch,
+                             max_wait_s=args.max_wait_ms / 1000.0,
+                             max_total_wait_s=(
+                                 None if args.max_total_wait_ms is None
+                                 else args.max_total_wait_ms / 1000.0),
+                             **options) as stream_service:
         print(f"serving {args.model} on http://{args.host}:{args.port} "
               f"(max_batch={args.max_batch})", flush=True)
         serve_http(service, args.host, args.port,
-                   path_root=args.allow_paths)
+                   path_root=args.allow_paths,
+                   stream_service=stream_service)
 
 
 if __name__ == "__main__":

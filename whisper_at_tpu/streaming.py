@@ -469,10 +469,13 @@ class StreamingService:
 
     def __init__(self, model, *, max_batch: int = 24,
                  max_wait_s: float = 0.02, max_total_wait_s: float = None,
-                 mesh=None):
+                 mesh=None, **session_defaults):
         import threading
         from collections import deque
 
+        # default options applied to every open() (per-call kwargs win) —
+        # the same server-level-defaults pattern as TranscriptionService
+        self._session_defaults = dict(session_defaults)
         self.model = model
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_s)
@@ -497,6 +500,7 @@ class StreamingService:
 
     def open(self, **session_options) -> StreamingTranscriber:
         """Create a session whose window decodes ride the shared batcher."""
+        session_options = {**self._session_defaults, **session_options}
         if session_options.get("condition_on_previous_text"):
             raise ValueError(
                 "condition_on_previous_text=True threads a per-stream "
