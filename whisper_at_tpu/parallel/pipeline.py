@@ -54,20 +54,29 @@ def make_pp_mesh(n_stages: Optional[int] = None,
     return Mesh(np.asarray(devices), axis_names=("pp",))
 
 
-def _block_body(h, block_params, n_head):
-    """One encoder block — the exact `encoder_apply` einsum-path math."""
+def _block_body(h, block_params, n_head, use_flash):
+    """One encoder block — the `encoder_apply` math. `use_flash` swaps in
+    the single-device pallas attention kernel: legal inside shard_map here
+    because every pipeline stage computes on a device-LOCAL [mb, T, D]
+    activation (no sharded operands ever reach the kernel)."""
     q, k, v = mha_project_qkv(
         block_params["attn"], layer_norm(block_params["attn_ln"], h)
     )
-    attn_out, _ = attention(q, k, v, n_head)
+    if use_flash:
+        from ..ops.flash import encoder_attention_tpu
+
+        attn_out = encoder_attention_tpu(q, k, v, n_head)
+    else:
+        attn_out, _ = attention(q, k, v, n_head)
     h = h + linear(block_params["attn"]["out"], attn_out)
     h = h + mlp(block_params["mlp"], layer_norm(block_params["mlp_ln"], h))
     return h
 
 
 @partial(jax.jit, static_argnames=("mesh", "n_head", "n_micro",
-                                   "compute_dtype"))
-def _encoder_pp_jit(params, mel, mesh, n_head, n_micro, compute_dtype):
+                                   "compute_dtype", "use_flash"))
+def _encoder_pp_jit(params, mel, mesh, n_head, n_micro, compute_dtype,
+                    use_flash):
     n_stages = mesh.shape["pp"]
     blocks = params["blocks"]
     n_layer = jax.tree_util.tree_leaves(blocks)[0].shape[0]
@@ -96,7 +105,7 @@ def _encoder_pp_jit(params, mel, mesh, n_head, n_micro, compute_dtype):
 
     def stage_fn(local_blocks, h):
         def body(carry, bp):
-            h_out = _block_body(carry, bp, n_head)
+            h_out = _block_body(carry, bp, n_head, use_flash)
             pooled = h_out.reshape(mb, t // POOL, POOL, d).mean(axis=2)
             return h_out, pooled
 
@@ -177,6 +186,7 @@ def encoder_apply_pp(
     n_head: int,
     compute_dtype=jnp.float32,
     n_micro: Optional[int] = None,
+    attn_impl: str = "off",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pipeline-parallel `encoder_apply` over the mesh's 'pp' axis.
 
@@ -187,10 +197,22 @@ def encoder_apply_pp(
 
     n_micro: number of microbatches (defaults to the batch size, the
     minimum-bubble choice; must divide B). Requires pp | n_audio_layer.
+    attn_impl: "off" = XLA einsum attention (exact single-device parity,
+    works on any backend); any other value selects the pallas flash
+    kernel per stage on a bf16 TPU backend (stage-local arrays — see
+    _block_body).
     """
     if n_micro is None:
         n_micro = mel.shape[0]
     params = jax.tree.map(
         lambda a: jax.device_put(a, NamedSharding(mesh, P())), params
     )
-    return _encoder_pp_jit(params, mel, mesh, n_head, n_micro, compute_dtype)
+    import jax as _jax
+
+    use_flash = (
+        attn_impl != "off"
+        and compute_dtype == jnp.bfloat16
+        and _jax.default_backend() == "tpu"
+    )
+    return _encoder_pp_jit(params, mel, mesh, n_head, n_micro,
+                           compute_dtype, use_flash)
