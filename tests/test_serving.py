@@ -395,7 +395,11 @@ def test_close_abort_skips_queued_prep(model, tmp_path):
     futs = [svc.submit(str(wav_path)) for _ in range(64)]
     t0 = __import__("time").monotonic()
     svc.close(wait=False)
-    assert __import__("time").monotonic() - t0 < 30.0
+    # decoding all 64 queued files through one prep worker would take
+    # minutes; an abort that skips them returns in well under this bound
+    # even on a heavily loaded CI host (observed flake at 30 s while an
+    # on-chip bench was building a large model on the same machine)
+    assert __import__("time").monotonic() - t0 < 90.0
     # nothing hangs: every future is done one way or the other
     assert all(f.done() or f.cancelled() for f in futs)
 
