@@ -357,15 +357,9 @@ def _run_streaming_measurement(args, model, common):
 
     service = StreamingService(model, max_batch=max(args.batch, n),
                                max_wait_s=0.05)
-    try:
-        warm = service.open(**session_opts)  # compiles mel/decode/tag
-        warm.feed(wave(99)[: 16000 * 31])
-        warm.finish()
-        warm_stats = service.stats()
 
-        waves = [wave(i) for i in range(n)]
-        sessions = [service.open(**session_opts) for _ in range(n)]
-        lats = []
+    def drive_all(waves, lats):
+        sessions = [service.open(**session_opts) for _ in waves]
 
         def drive(i):
             sess, w = sessions[i], waves[i]
@@ -374,18 +368,31 @@ def _run_streaming_measurement(args, model, common):
                 t0 = _time.perf_counter()
                 sess.feed(w[lo:lo + block])
                 dt = _time.perf_counter() - t0
-                if sess._seek > before:
+                if sess._seek > before and lats is not None:
                     lats.append(dt)
             sess.finish()
 
         t0 = _time.perf_counter()
         threads = [threading.Thread(target=drive, args=(i,))
-                   for i in range(n)]
+                   for i in range(len(waves))]
         for th in threads:
             th.start()
         for th in threads:
             th.join()
-        wall = _time.perf_counter() - t0
+        return _time.perf_counter() - t0
+
+    try:
+        # warmup drive: n concurrent short sessions, so every batch-bucket
+        # shape the measured drive will hit (mel groups, decode rungs, tag
+        # groups at sizes up to n) is compiled/cache-loaded BEFORE timing —
+        # a single-session warmup only covers bucket 1, and one cold
+        # large-v1 compile costs tens of seconds on the tunnel
+        drive_all([wave(99 + i)[: 16000 * 32] for i in range(n)], None)
+        warm_stats = service.stats()
+
+        lats = []
+        waves = [wave(i) for i in range(n)]
+        wall = drive_all(waves, lats)
         stats = service.stats()
     finally:
         service.close()
