@@ -542,7 +542,7 @@ def make_http_server(service: TranscriptionService, host: str = "127.0.0.1",
             total = 0
             if "chunked" in te:
                 while True:
-                    line = self.rfile.readline(34)
+                    line = self.rfile.readline(1024)
                     size = int(line.strip().split(b";")[0], 16)
                     if size == 0:
                         while True:  # swallow trailers up to the blank line
@@ -624,10 +624,19 @@ def make_http_server(service: TranscriptionService, host: str = "127.0.0.1",
                     ))
                 self._write_chunk(summary)
             except Exception as exc:  # noqa: BLE001 — headers already sent
-                self._write_chunk({"error": str(exc)})
+                # request framing may be lost mid-body: never reuse the
+                # connection after an error
+                self.close_connection = True
+                try:
+                    self._write_chunk({"error": str(exc)})
+                except OSError:
+                    pass  # client already gone
             finally:
-                self.wfile.write(b"0\r\n\r\n")
-                self.wfile.flush()
+                try:
+                    self.wfile.write(b"0\r\n\r\n")
+                    self.wfile.flush()
+                except OSError:
+                    pass
 
         def do_POST(self):
             path, _, query = self.path.partition("?")

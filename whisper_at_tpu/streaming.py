@@ -134,9 +134,10 @@ class StreamingTranscriber:
                 "Word-level timestamps on translations may not be "
                 "reliable.", stacklevel=2,
             )
-        # decode_executor(window, options, temperature, gate) -> result:
-        # injected by StreamingService to route window decodes through its
-        # cross-session batcher; None = decode inline (the default ladder)
+        # decode_executor: injected by StreamingService to route window
+        # decodes (and the mel + TL-TR tag passes) through its
+        # cross-session batcher — see StreamingService._decode for the
+        # call protocol; None = decode inline (the default ladder)
         self._decode_executor = decode_executor
         self.model = model
         self.verbose = verbose
