@@ -530,9 +530,11 @@ def build_attempt_plan(args):
     if args.config:
         return [None] * 3, ["--config", args.config]  # batch from CONFIGS
     if args.streaming:
-        return ([args.batch] * 2,
-                ["--streaming", str(args.streaming), "--size", args.size,
-                 "--stream-minutes", str(args.stream_minutes)])
+        mode = ["--streaming", str(args.streaming), "--size", args.size,
+                "--stream-minutes", str(args.stream_minutes)]
+        if args.beam:
+            mode += ["--beam", str(args.beam)]
+        return [args.batch] * 2, mode
     if args.serving:
         mode = ["--serving", "--size", args.size]
         if args.beam:
@@ -566,8 +568,11 @@ def orchestrate(args):
         emitted["done"] = True
         print(json.dumps(result), flush=True)
 
+    failure_mode = ("live-streaming" if args.streaming else
+                    "serving" if args.serving else
+                    f"config {args.config}" if args.config else "batched")
     failure = {
-        "metric": f"{args.size} batched transcribe+tag throughput "
+        "metric": f"{args.size} {failure_mode} transcribe+tag throughput "
                   f"(batch {args.batch}, 1 chip)",
         "value": 0.0,
         "unit": "audio-sec/sec",
@@ -676,7 +681,8 @@ def orchestrate(args):
     # ---- best-effort preset sweep into BENCH_CONFIGS.json ----------------- #
     if args.config or args.serving or args.streaming or args.no_presets:
         return 0
-    sweep = {"headline": result, "presets": {}, "serving": None}
+    sweep = {"headline": result, "presets": {}, "serving": None,
+             "streaming": None}
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "BENCH_CONFIGS.json")
 

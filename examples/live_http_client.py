@@ -105,11 +105,16 @@ def main():
     # upload on the main thread; the response thread prints segments live
     # (conn's request state machine is bypassed with raw socket sends,
     # which is exactly what chunked framing is)
-    for data in pcm16_blocks(args):
-        conn.sock.sendall(b"%x\r\n" % len(data) + data + b"\r\n")
-        if args.realtime:
-            time.sleep(args.block_seconds)
-    conn.sock.sendall(b"0\r\n\r\n")
+    try:
+        for data in pcm16_blocks(args):
+            conn.sock.sendall(b"%x\r\n" % len(data) + data + b"\r\n")
+            if args.realtime:
+                time.sleep(args.block_seconds)
+        conn.sock.sendall(b"0\r\n\r\n")
+    except OSError:
+        # server closed mid-stream (its error line explains why — the
+        # reader thread prints it); stop uploading, keep reading
+        pass
     reader.join()
     conn.close()
 

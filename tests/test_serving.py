@@ -538,3 +538,41 @@ def test_http_stream_endpoint(model):
     # the live sessions rode the shared batcher (decode + mel + tags)
     st = stream_svc.stats()
     assert st["windows"] >= 2 and st["mel_batched_windows"] >= 1
+
+
+def test_http_early_errors_close_connection(model):
+    """An error response sent BEFORE the request body is consumed must not
+    keep the connection alive: under HTTP/1.1 the unread body bytes would
+    be parsed as the next request's start line (reproduced as a 501 from
+    leftover WAV bytes). Healthy responses still keep-alive."""
+    import http.client
+    import threading
+
+    body = wav_bytes(clip(1, 52))
+    with TranscriptionService(model, max_wait_s=0.02, **OPTS) as svc:
+        server = make_http_server(svc, "127.0.0.1", 0)
+        port = server.server_address[1]
+        thread = threading.Thread(target=server.serve_forever, daemon=True)
+        thread.start()
+        try:
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+            conn.request("POST", "/v1/transcribe?bogus=1", body=body,
+                         headers={"Content-Type": "audio/wav"})
+            resp = conn.getresponse()
+            assert resp.status == 400
+            assert resp.getheader("Connection") == "close"
+            resp.read()
+            conn.close()
+
+            # keep-alive still works across healthy requests
+            conn2 = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+            for _ in range(2):
+                conn2.request("GET", "/healthz")
+                r = conn2.getresponse()
+                assert r.status == 200
+                r.read()
+            conn2.close()
+        finally:
+            server.shutdown()
+            server.server_close()
+            thread.join()

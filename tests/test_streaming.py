@@ -321,10 +321,11 @@ def test_streaming_service_parity_two_sessions(model):
     assert stats["windows"] == 6
     assert stats["batches"] < 6
     assert stats["max_batch_windows"] >= 2
-    # every window after a session's first ships its raw piece and gets
-    # its mel computed batched in the scheduler (2 of 3 per session), and
-    # every scheduled batch runs >= 1 grouped TL-TR tag dispatch
-    assert stats["mel_batched_windows"] == 4
+    # OPTS pins language="en", so EVERY window (first included — nothing
+    # reads its mel in-session) ships its raw piece and gets its mel
+    # computed batched in the scheduler (3 per session), and every
+    # scheduled batch runs >= 1 grouped TL-TR tag dispatch
+    assert stats["mel_batched_windows"] == 6
     assert stats["tag_groups"] >= stats["batches"]
 
 

@@ -204,15 +204,25 @@ def encoder_apply_pp(
     """
     if n_micro is None:
         n_micro = mel.shape[0]
-    params = jax.tree.map(
-        lambda a: jax.device_put(a, NamedSharding(mesh, P())), params
-    )
-    import jax as _jax
-
+    first = jax.tree_util.tree_leaves(params)[0]
+    sh = getattr(first, "sharding", None)
+    if not (isinstance(sh, NamedSharding) and sh.spec == P()
+            and tuple(sh.mesh.devices.flat) == tuple(mesh.devices.flat)):
+        params = place_encoder_pp(params, mesh)
     use_flash = (
         attn_impl != "off"
         and compute_dtype == jnp.bfloat16
-        and _jax.default_backend() == "tpu"
+        and jax.default_backend() == "tpu"
     )
     return _encoder_pp_jit(params, mel, mesh, n_head, n_micro,
                            compute_dtype, use_flash)
+
+
+def place_encoder_pp(params: dict, mesh: Mesh) -> dict:
+    """Replicate the encoder params over the pp mesh ONCE and return the
+    committed tree. `encoder_apply_pp` places uncommitted params itself,
+    but that re-transfers the full weight set on EVERY call when the
+    caller keeps passing host arrays — for repeated forwards, place once
+    and reuse (the pp analogue of `place_model_tp`)."""
+    repl = NamedSharding(mesh, P())
+    return jax.tree.map(lambda a: jax.device_put(a, repl), params)

@@ -514,13 +514,25 @@ def make_http_server(service: TranscriptionService, host: str = "127.0.0.1",
         # non-stream response carries Content-Length, so keep-alive works)
         protocol_version = "HTTP/1.1"
 
-        def _send(self, code: int, payload: dict):
+        def _send(self, code: int, payload: dict, close: bool = False):
             body = json.dumps(payload).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            if close:
+                self.send_header("Connection", "close")
             self.end_headers()
             self.wfile.write(body)
+
+        def _send_early_error(self, code: int, payload: dict):
+            """Error response sent BEFORE the request body was consumed:
+            under HTTP/1.1 keep-alive the unread body would be parsed as
+            the NEXT request's start line (reproduced: a 400 followed by a
+            pipelined GET returned 501 from leftover WAV bytes), so the
+            connection must not be reused — close server-side AND tell
+            the client with a Connection: close header."""
+            self.close_connection = True
+            self._send(code, payload, close=True)
 
         def log_message(self, fmt, *args):  # quiet by default
             pass
@@ -543,6 +555,8 @@ def make_http_server(service: TranscriptionService, host: str = "127.0.0.1",
             if "chunked" in te:
                 while True:
                     line = self.rfile.readline(1024)
+                    if not line.endswith(b"\n"):
+                        raise ValueError("chunk-size line too long")
                     size = int(line.strip().split(b";")[0], 16)
                     if size == 0:
                         while True:  # swallow trailers up to the blank line
@@ -573,24 +587,26 @@ def make_http_server(service: TranscriptionService, host: str = "127.0.0.1",
 
         def _do_stream(self, query: str):
             if stream_service is None:
-                self._send(404, {"error": "streaming is not enabled on "
-                                          "this server"})
+                self._send_early_error(404, {"error": "streaming is not "
+                                                      "enabled on this "
+                                                      "server"})
                 return
             try:
                 options, http_opts = _coerce_params(query)
             except ValueError as exc:
-                self._send(400, {"error": str(exc)})
+                self._send_early_error(400, {"error": str(exc)})
                 return
             ctype = (self.headers.get("Content-Type") or "").split(";")[0]
             if ctype not in ("", "audio/pcm16",
                              "application/octet-stream"):
-                self._send(415, {"error": "stream body must be raw mono "
-                                          "16 kHz int16 PCM (audio/pcm16)"})
+                self._send_early_error(
+                    415, {"error": "stream body must be raw mono 16 kHz "
+                                   "int16 PCM (audio/pcm16)"})
                 return
             try:
                 sess = stream_service.open(**options)
             except (TypeError, ValueError, RuntimeError) as exc:
-                self._send(400, {"error": str(exc)})
+                self._send_early_error(400, {"error": str(exc)})
                 return
             self.send_response(200)
             self.send_header("Content-Type", "application/x-ndjson")
@@ -644,17 +660,17 @@ def make_http_server(service: TranscriptionService, host: str = "127.0.0.1",
                 self._do_stream(query)
                 return
             if path != "/v1/transcribe":
-                self._send(404, {"error": "not found"})
+                self._send_early_error(404, {"error": "not found"})
                 return
             try:
                 options, http_opts = _coerce_params(query)
             except ValueError as exc:
-                self._send(400, {"error": str(exc)})
+                self._send_early_error(400, {"error": str(exc)})
                 return
             length = int(self.headers.get("Content-Length", 0))
             if length > max_body_bytes:
-                self._send(413, {"error": f"body exceeds {max_body_bytes} "
-                                          "bytes"})
+                self._send_early_error(
+                    413, {"error": f"body exceeds {max_body_bytes} bytes"})
                 return
             body = self.rfile.read(length)
             ctype = (self.headers.get("Content-Type") or "").split(";")[0]

@@ -295,8 +295,15 @@ class StreamingTranscriber:
         # under a service ship the raw prepped piece instead so the
         # service computes the mel BATCHED across concurrent sessions
         window = None
-        if (self._decode_executor is None or self._tokenizer is None
-                or self.word_timestamps):  # alignment reads the window mel
+        # the mel is needed in-session for: inline decode (no service),
+        # word-timestamp alignment, and first-window language DETECTION —
+        # but only when the language is actually unresolved (a pinned
+        # language or a monolingual model never reads it), so service
+        # sessions with language set batch even their first window's mel
+        needs_lang_mel = (self._tokenizer is None and self._language is None
+                          and self.model.is_multilingual)
+        if (self._decode_executor is None or self.word_timestamps
+                or needs_lang_mel):
             mel = log_mel_spectrogram_jax(piece, padding=0, exact=True)
             window = mel[:, lead_frames:lead_frames + N_FRAMES]
         content_frames = (self._total_samples // HOP_LENGTH if final
