@@ -261,3 +261,36 @@ def test_pipeline_parallel_encoder_matches_single_device(devices_ok):
                                rtol=0, atol=1e-5)
     np.testing.assert_allclose(np.asarray(taps2), np.asarray(taps0),
                                rtol=0, atol=1e-5)
+
+
+def test_sequence_parallel_encoder_matches_single_device(devices_ok):
+    """Ring-attention encoder over a 4-shard 'sp' mesh matches the
+    single-device encoder to online-softmax rounding. sp=4 gives 375-frame
+    chunks, so the 20x pooled-tap windows straddle every chunk boundary —
+    the psum-of-partial-windows path is exercised, not just the aligned
+    case."""
+    from whisper_at_tpu.models.dims import ModelDimensions
+    from whisper_at_tpu.models.encoder import encoder_apply, init_encoder
+    from whisper_at_tpu.parallel.sequence import (
+        encoder_apply_sp,
+        make_sp_mesh,
+    )
+
+    dims = ModelDimensions(
+        n_mels=80, n_audio_ctx=1500, n_audio_state=64, n_audio_head=4,
+        n_audio_layer=4, n_vocab=100, n_text_ctx=448, n_text_head=4,
+        n_text_state=64, n_text_layer=2,
+    )
+    params = init_encoder(jax.random.PRNGKey(0), dims)
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.standard_normal((2, 80, 3000)), jnp.float32)
+
+    x0, taps0 = encoder_apply(params, mel, dims.n_audio_head,
+                              attn_impl="off")
+    mesh = make_sp_mesh(4)
+    x1, taps1 = encoder_apply_sp(params, mel, mesh, dims.n_audio_head)
+    assert x1.shape == x0.shape and taps1.shape == taps0.shape
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x0),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(taps1), np.asarray(taps0),
+                               rtol=1e-5, atol=1e-5)
