@@ -451,3 +451,49 @@ def test_streaming_service_rolling_fill_hard_cap(model, monkeypatch):
         stats = service.stats()
     assert stats["windows"] == 6
     assert stats["batches"] >= 2, (stats, batches)
+
+
+def test_streaming_service_batches_language_detection(model):
+    """Sessions opened WITHOUT a language run their first-window language
+    detection through the scheduler: concurrent session starts coalesce
+    into one batched detect_language forward, and results match a
+    standalone session's inline detection."""
+    import threading
+
+    from whisper_at_tpu.streaming import StreamingService
+
+    opts = {k: v for k, v in OPTS.items() if k != "language"}
+    waves = [_clicky_audio(35, seed=11), _clicky_audio(35, seed=12)]
+
+    solo = []
+    for w in waves:
+        sess = StreamingTranscriber(model, **_nocond(opts))
+        sess.feed(w)
+        solo.append(sess.finish())
+
+    # generous fill window, same rationale as the parity test above
+    with StreamingService(model, max_wait_s=2.0) as service:
+        sessions = [service.open(**opts) for _ in waves]
+        results = [None, None]
+        start = threading.Barrier(len(waves))
+
+        def run(i):
+            start.wait()
+            sessions[i].feed(waves[i])
+            results[i] = sessions[i].finish()
+
+        threads = [threading.Thread(target=run, args=(i,))
+                   for i in range(len(waves))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        stats = service.stats()
+
+    for got, want in zip(results, solo):
+        assert got["language"] == want["language"]
+        assert got["text"] == want["text"]
+    assert stats["detect_windows"] == 2
+    # both sessions' first windows arrived inside one fill window: ONE
+    # batched detection forward
+    assert stats["detect_batches"] == 1

@@ -122,6 +122,7 @@ class StreamingTranscriber:
         prepend_punctuations: str = "\"'“¿([{-",
         append_punctuations: str = "\"'.。,，!！?？:：”)]}、",
         decode_executor=None,
+        detect_executor=None,
         **decode_options,
     ):
         self.word_timestamps = word_timestamps
@@ -139,6 +140,10 @@ class StreamingTranscriber:
         # cross-session batcher — see StreamingService._decode for the
         # call protocol; None = decode inline (the default ladder)
         self._decode_executor = decode_executor
+        # detect_executor: same idea for first-window language detection
+        # ([80, N_FRAMES] mel -> {lang: prob}) — batched across sessions
+        # by StreamingService._detect; None = model.detect_language inline
+        self._detect_executor = detect_executor
         self.model = model
         self.verbose = verbose
         self.temperature = temperature
@@ -231,7 +236,8 @@ class StreamingTranscriber:
                 padding=N_SAMPLES,
             )[:, :N_FRAMES]
             self._language = _resolve_language(
-                self.model, first, self.decode_options, self.verbose
+                self.model, first, self.decode_options, self.verbose,
+                detect_fn=self._detect_executor,
             )
             text = ""
         else:
@@ -313,7 +319,8 @@ class StreamingTranscriber:
 
         if self._tokenizer is None:
             self._language = _resolve_language(
-                self.model, window, self.decode_options, self.verbose
+                self.model, window, self.decode_options, self.verbose,
+                detect_fn=self._detect_executor,
             )
             self._tokenizer = get_tokenizer(
                 self.model.is_multilingual, language=self._language,
@@ -444,6 +451,21 @@ class _DecodeRequest:
         self.at_time_res = at_time_res
 
 
+class _DetectRequest:
+    """A first-window language-detection pass queued for cross-session
+    batching. All detect requests share one key (the pass depends only on
+    the model), so concurrent session starts coalesce into ONE batched
+    `detect_language` forward instead of a batch-1 encoder pass each."""
+
+    __slots__ = ("window", "key", "future")
+    KEY = ("__detect_language__",)
+
+    def __init__(self, window, future):
+        self.window = window          # [80, N_FRAMES] mel
+        self.key = _DetectRequest.KEY
+        self.future = future
+
+
 class StreamingService:
     """Serve MANY live streams at batch efficiency on one device.
 
@@ -460,12 +482,15 @@ class StreamingService:
     Windows from different sessions are independent, so batching never
     changes results — but batching requires prompt-free windows, hence
     sessions are opened with ``condition_on_previous_text=False`` (the same
-    trade the offline batched paths make). The window MEL and the TL-TR tag
-    pass batch across sessions too (steady-state windows ship the raw
-    prepped piece; the scheduler computes mels in one dispatch per group
-    and tag logits in one dispatch per offset/resolution group), so the
-    only per-session device work left is the first window's language
-    detection. Segmentation and tag stitching stay per-session host work.
+    trade the offline batched paths make). The window MEL, the TL-TR tag
+    pass, AND first-window language detection batch across sessions too
+    (steady-state windows ship the raw prepped piece; the scheduler
+    computes mels in one dispatch per group, tag logits in one dispatch
+    per offset/resolution group, and detection forwards in one
+    `detect_language` per coalesced burst of session starts), so no
+    steady-state device work is per-session. Segmentation and tag
+    stitching stay per-session host work; word-timestamp alignment, when
+    enabled, stays a per-window batch-1 forward (module docstring).
 
     >>> service = StreamingService(model)
     >>> sess = service.open(language="en")      # per client connection
@@ -500,7 +525,7 @@ class StreamingService:
         self._stats_lock = threading.Lock()
         self._stats = dict(sessions=0, windows=0, batches=0,
                            max_batch_windows=0, mel_batched_windows=0,
-                           tag_groups=0)
+                           tag_groups=0, detect_windows=0, detect_batches=0)
         self._thread = threading.Thread(
             target=self._scheduler, name="wat-stream-scheduler", daemon=True
         )
@@ -522,7 +547,8 @@ class StreamingService:
         with self._stats_lock:
             self._stats["sessions"] += 1
         return StreamingTranscriber(
-            self.model, decode_executor=self._decode, **session_options
+            self.model, decode_executor=self._decode,
+            detect_executor=self._detect, **session_options
         )
 
     def stats(self) -> dict:
@@ -580,6 +606,48 @@ class StreamingService:
             self._pending.append(req)
             self._cv.notify()
         return fut.result()
+
+    def _detect(self, window):
+        """The detect_executor injected into sessions: enqueue the
+        first-window language-id pass and wait. Returns the {lang: prob}
+        dict for this window; concurrent session starts coalesce into one
+        batched `detect_language` forward (see _run_detect_batch)."""
+        from concurrent.futures import Future
+
+        fut = Future()
+        req = _DetectRequest(window, fut)
+        with self._cv:
+            if self._closed:
+                raise RuntimeError("StreamingService is closed")
+            self._pending.append(req)
+            self._cv.notify()
+        return fut.result()
+
+    def _run_detect_batch(self, batch):
+        """One batched language-id forward for the co-scheduled first
+        windows, padded up the batch-bucket ladder like every other
+        cross-session dispatch (compile-count rationale in
+        _materialize_windows)."""
+        from .decoding import detect_language
+        from .serving import _settle
+
+        try:
+            wins = jnp.stack([r.window for r in batch])
+            bucket = _batch_bucket(len(batch), self.max_batch)
+            if bucket > len(batch):
+                wins = jnp.concatenate(
+                    [wins, jnp.repeat(wins[-1:], bucket - len(batch), axis=0)]
+                )
+            _, probs = detect_language(self.model, wins)
+        except Exception as exc:  # noqa: BLE001 — per-request delivery
+            for r in batch:
+                _settle(r.future, exception=exc)
+            return
+        with self._stats_lock:
+            self._stats["detect_windows"] += len(batch)
+            self._stats["detect_batches"] += 1
+        for r, p in zip(batch, probs):
+            _settle(r.future, result=p)
 
     def _take_batch(self):
         import time
@@ -696,6 +764,9 @@ class StreamingService:
             if batch is self._CLOSED:
                 return
             head = batch[0]
+            if isinstance(head, _DetectRequest):
+                self._run_detect_batch(batch)
+                continue
             try:
                 windows, n_mel_batched = self._materialize_windows(batch)
                 results = _decode_windows_batched(

@@ -77,9 +77,12 @@ def print_segment(seg: dict) -> None:
     ))
 
 
-def _resolve_language(model, mel_window, decode_options, verbose=None) -> str:
+def _resolve_language(model, mel_window, decode_options, verbose=None,
+                      detect_fn=None) -> str:
     """Fill decode_options['language'] (detected from the first window if
-    unset — reference transcribe.py:100-116)."""
+    unset — reference transcribe.py:100-116). `detect_fn`, when given,
+    replaces the inline `model.detect_language` pass with an injected one
+    (StreamingService routes it through its cross-session batcher)."""
     if decode_options.get("language") is None:
         if not model.is_multilingual:
             decode_options["language"] = "en"
@@ -89,7 +92,10 @@ def _resolve_language(model, mel_window, decode_options, verbose=None) -> str:
                     "Detecting language using up to the first 30 seconds. "
                     "Use `--language` to specify the language"
                 )
-            _, probs = model.detect_language(mel_window)
+            if detect_fn is not None:
+                probs = detect_fn(mel_window)
+            else:
+                _, probs = model.detect_language(mel_window)
             decode_options["language"] = max(probs, key=probs.get)
             if verbose is not None:
                 print("Detected language: "
