@@ -136,6 +136,11 @@ def build_parser():
                              "finalize latency percentiles")
     parser.add_argument("--stream-minutes", type=float, default=1.0,
                         help="audio minutes per stream for --streaming")
+    parser.add_argument("--extract", action="store_true",
+                        help="measure AudioSet-protocol feature-extraction "
+                        "throughput (batched 10 s clips -> all-layer taps "
+                        "-> device 20x pooling -> fp32 host fetch) instead "
+                        "of transcription")
     parser.add_argument("--resident", action="store_true",
                         help="measure with device-resident input (audio "
                              "transfers forced complete before the timed "
@@ -207,6 +212,8 @@ def run_measurement(args):
 
     if args.streaming:
         return _run_streaming_measurement(args, model, common)
+    if args.extract:
+        return _run_extract_measurement(args, model)
 
     rng = np.random.default_rng(0)
 
@@ -325,6 +332,62 @@ def run_measurement(args):
                   f"{f'int{args.kv_bits} cross-KV, ' if args.kv_quant else ''}"
                   f"{'int8 weights, ' if args.weight_quant else ''}"
                   f"{'int8 self-KV, ' if args.self_kv_quant else ''}1 chip)",
+        "value": round(rtf, 2),
+        "unit": "audio-sec/sec",
+        "vs_baseline": round(rtf / TARGET_RTF, 3),
+        "times_s": [round(t, 3) for t in times],
+    }
+
+
+def _run_extract_measurement(args, model):
+    """AudioSet-protocol feature extraction throughput: batches of 10 s
+    clips -> per-clip truncated mel (1000 frames) -> ONE batched all-layer
+    taps encoder forward -> on-device 20x pooling + embedding-tap drop ->
+    fp32 host fetch (the exact bytes the extraction driver writes to npz).
+    The reference extracts one clip per forward
+    (extract_as_full_whisper_all.py:34); this measures the framework's
+    batched path (research/feature_extract.py::extract_features_many),
+    D2H pull included — on the tunneled chip the pull is link-taxed the
+    same way the headline's H2D is."""
+    import numpy as np
+
+    from whisper_at_tpu.research.feature_extract import extract_features_many
+
+    fp16 = not args.fp32
+    clip_s = 10
+
+    def make_clips(it):
+        out = []
+        for i in range(args.batch):
+            r = np.random.default_rng(1000 * it + i)
+            t = np.arange(16000 * clip_s) / 16000.0
+            a = (0.3 * np.sin(2 * np.pi * 220.0 * t)
+                 + 0.05 * r.standard_normal(len(t))).astype(np.float32)
+            out.append(
+                (np.clip(a, -1.0, 1.0) * 32767.0).astype(np.int16))
+        return out
+
+    batches = [make_clips(it) for it in range(args.iters + 1)]
+    t0 = time.perf_counter()
+    np.asarray(extract_features_many(model, batches[0], fp16=fp16))
+    log(f"extract warmup (compile) {time.perf_counter() - t0:.1f}s")
+
+    times = []
+    for it in range(args.iters):
+        start = time.perf_counter()
+        feats = np.asarray(
+            extract_features_many(model, batches[it + 1], fp16=fp16),
+            np.float32,
+        )
+        times.append(time.perf_counter() - start)
+    assert feats.shape[0] == args.batch
+
+    audio_seconds = float(args.batch * clip_s)
+    rtf = audio_seconds / min(times)
+    return {
+        "metric": f"{args.size} batched all-layer feature extraction "
+                  f"throughput (10 s clips, batch {args.batch}, device "
+                  f"20x pooling, fp32 fetch, 1 chip)",
         "value": round(rtf, 2),
         "unit": "audio-sec/sec",
         "vs_baseline": round(rtf / TARGET_RTF, 3),
@@ -535,6 +598,8 @@ def build_attempt_plan(args):
         if args.beam:
             mode += ["--beam", str(args.beam)]
         return [args.batch] * 2, mode
+    if args.extract:
+        return [args.batch] * 2, ["--extract", "--size", args.size]
     if args.serving:
         mode = ["--serving", "--size", args.size]
         if args.beam:
@@ -570,6 +635,7 @@ def orchestrate(args):
 
     failure_mode = ("live-streaming" if args.streaming else
                     "serving" if args.serving else
+                    "feature-extraction" if args.extract else
                     f"config {args.config}" if args.config else "batched")
     failure = {
         "metric": f"{args.size} {failure_mode} transcribe+tag throughput "
@@ -679,10 +745,11 @@ def orchestrate(args):
     log(f"headline: {result['value']} {result['unit']}")
 
     # ---- best-effort preset sweep into BENCH_CONFIGS.json ----------------- #
-    if args.config or args.serving or args.streaming or args.no_presets:
+    if (args.config or args.serving or args.streaming or args.extract
+            or args.no_presets):
         return 0
     sweep = {"headline": result, "presets": {}, "serving": None,
-             "streaming": None}
+             "streaming": None, "extract": None}
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "BENCH_CONFIGS.json")
 
@@ -731,6 +798,17 @@ def orchestrate(args):
                              "--batch", str(args.batch)] + base_flags,
                             timeout=min(600, remaining - 30))
         sweep["streaming"] = r if r is not None else {"error": err[-500:]}
+        save()
+
+    # feature-extraction row: the training stack's AudioSet-scale
+    # extraction workload (research/feature_extract.py), auditable from
+    # the driver's artifact like the serving/streaming modes
+    remaining = deadline - time.time()
+    if remaining >= 180:
+        r, err = run_worker(["--extract", "--size", args.size, "--batch",
+                             str(args.batch)] + base_flags,
+                            timeout=min(480, remaining - 30))
+        sweep["extract"] = r if r is not None else {"error": err[-500:]}
         save()
 
     def info_row(key, extra_flags):

@@ -503,3 +503,24 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     assert dims2 == DIMS
     for a, b in zip(jax.tree.leaves(model.params), jax.tree.leaves(params2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_extract_features_many_matches_per_clip():
+    """Batched device-pooled extraction equals the per-clip path (same
+    mel truncation, same taps, pooling on device instead of numpy)."""
+    from whisper_at_tpu.research.feature_extract import (
+        extract_features,
+        extract_features_many,
+    )
+
+    model = Whisper(DIMS, seed=3)
+    rng = np.random.default_rng(7)
+    clips = [rng.standard_normal(16000 * 10).astype(np.float32) * 0.1
+             for _ in range(3)]
+    batched = np.asarray(
+        extract_features_many(model, clips, n_frames=1000, fp16=False),
+        np.float32,
+    )
+    for i, clip in enumerate(clips):
+        solo = extract_features(model, clip, n_frames=1000, fp16=False)
+        np.testing.assert_allclose(batched[i], solo, rtol=1e-5, atol=1e-6)

@@ -12,10 +12,12 @@ TPU re-design: clips are processed in BATCHES through one jitted taps
 encoder instead of one-clip-at-a-time; resume-by-skip is preserved.
 """
 
+import functools
 import json
 import os
 from typing import List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -95,6 +97,48 @@ def extract_features_padded(
     return taps.reshape(n_layers, t // pool, pool, d).mean(axis=2)
 
 
+@functools.partial(jax.jit, static_argnums=(1,))
+def _pool_taps_device(taps: jnp.ndarray, pool: int) -> jnp.ndarray:
+    """[B, L+1, T', D] taps -> fp32 [B, L, T'//pool, D] on DEVICE: 20x
+    pooling + embedding-tap drop before the D2H pull, so the host fetch
+    ships pool-times fewer bytes than pulling the raw taps (the fetch is
+    the extraction loop's bandwidth term; reference pools on host with
+    skimage block_reduce, extract_as_full_whisper_all.py:37)."""
+    taps = taps.astype(jnp.float32)
+    b, n_layers, t, d = taps.shape
+    pooled = taps[:, :, : (t // pool) * pool].reshape(
+        b, n_layers, t // pool, pool, d
+    ).mean(axis=3)
+    return pooled[:, 1:]
+
+
+def extract_features_many(
+    model,
+    audios,
+    n_frames: int = 1000,
+    pool: int = POOL,
+    fp16: bool = True,
+) -> jnp.ndarray:
+    """Batched `extract_features`: one encoder-taps forward for a LIST of
+    clips, pooling on device. Returns fp32 [B, n_layer, n_frames/2/pool, D]
+    (a device array — np.asarray() it to fetch; the embedding tap is
+    already dropped). Per-clip mels keep `extract_features`' exact
+    truncation semantics (pad_or_trim on the MEL, zeros — not silence)."""
+    mels = [
+        pad_or_trim(log_mel_spectrogram(a), n_frames) for a in audios
+    ]
+    mel_batch = jnp.stack([jnp.asarray(m) for m in mels])
+    taps = encoder_apply_taps(
+        model.params["encoder"],
+        mel_batch,
+        model.dims.n_audio_head,
+        "all_nopool",
+        model.compute_dtype(fp16),
+        attn_impl=_attn_impl(model),
+    )
+    return _pool_taps_device(taps, pool)
+
+
 def extract_feature_set(
     model,
     dataset_json_file: str,
@@ -121,24 +165,9 @@ def extract_feature_set(
 
     for start in range(0, len(todo), batch_size):
         chunk = todo[start : start + batch_size]
-        mels = []
-        for wav in chunk:
-            mel = log_mel_spectrogram(load_audio(wav))
-            mels.append(pad_or_trim(np.asarray(mel), n_frames))
-        mel_batch = jnp.asarray(np.stack(mels))
-        taps = encoder_apply_taps(
-            model.params["encoder"],
-            mel_batch,
-            model.dims.n_audio_head,
-            "all_nopool",
-            model.compute_dtype(fp16),
-            attn_impl=_attn_impl(model),
-        )
-        taps = np.asarray(taps, np.float32)  # [B, L+1, T', D]
-        b, n_layers, t, d = taps.shape
-        pooled = taps[:, :, : (t // POOL) * POOL].reshape(
-            b, n_layers, t // POOL, POOL, d
-        ).mean(axis=3)[:, 1:]
+        pooled = np.asarray(extract_features_many(
+            model, [load_audio(w) for w in chunk], n_frames, fp16=fp16
+        ), np.float32)
         for wav, feat in zip(chunk, pooled):
             np.savez_compressed(out_path(wav), feat)
             written.append(out_path(wav))
