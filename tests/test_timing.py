@@ -264,3 +264,45 @@ def test_merge_punctuations_fuzz_vs_reference_oracle():
         want = oracle(copy.deepcopy(base))
         assert [(w.word, w.tokens) for w in got] == \
             [(w.word, w.tokens) for w in want], words
+
+
+def test_find_alignment_batched_matches_solo():
+    """One batched alignment forward over N windows (padded token rows,
+    masked z-norm) produces the same words as N solo find_alignment calls;
+    times match to the 0.02 s DTW grid and probabilities to fp32-softmax
+    tolerance (the solo path softmaxes in float64 on host)."""
+    from whisper_at_tpu.timing import find_alignment, find_alignment_batched
+
+    dims = ModelDimensions(
+        n_mels=80, n_audio_ctx=1500, n_audio_state=64, n_audio_head=4,
+        n_audio_layer=2, n_vocab=51865, n_text_ctx=448, n_text_head=4,
+        n_text_state=64, n_text_layer=2,
+    )
+    model = Whisper(dims, seed=9)
+    tokenizer = get_tokenizer(True, language="en", task="transcribe")
+    rng = np.random.default_rng(11)
+    mels = jnp.asarray(
+        rng.standard_normal((3, 80, 3000)).astype(np.float32) * 0.3
+    )
+    texts = [
+        tokenizer.encode(" hello world how are you"),
+        [],  # empty row must not join the device batch
+        tokenizer.encode(" a much longer sentence with several more words"),
+    ]
+    num_frames = [3000, 3000, 2000]
+
+    batched = find_alignment_batched(model, tokenizer, texts, mels,
+                                     num_frames)
+    assert batched[1] == []
+    for i in (0, 2):
+        solo = find_alignment(model, tokenizer, texts[i], mels[i],
+                              num_frames[i])
+        assert [w.word for w in batched[i]] == [w.word for w in solo]
+        assert [w.tokens for w in batched[i]] == [w.tokens for w in solo]
+        for bw, sw in zip(batched[i], solo):
+            # one DTW time step = 1/50 s; a last-bit weight difference can
+            # flip a near-tie in the monotonic path by at most one step
+            assert abs(bw.start - sw.start) <= 0.021
+            assert abs(bw.end - sw.end) <= 0.021
+            np.testing.assert_allclose(bw.probability, sw.probability,
+                                       rtol=1e-4, atol=1e-6)

@@ -696,8 +696,8 @@ def decoder_forward(
 @partial(jax.jit, static_argnames=("n_head", "n_sel", "compute_dtype"))
 def decoder_forward_with_qk(
     params: dict,
-    tokens: jnp.ndarray,  # [1, S]
-    xa: jnp.ndarray,  # [1, F, D] encoded audio
+    tokens: jnp.ndarray,  # [B, S]
+    xa: jnp.ndarray,  # [B, F, D] encoded audio
     sel_slot: jnp.ndarray,  # [L, H] int32: slot in [0, n_sel) or n_sel (drop)
     n_head: int,
     n_sel: int,
@@ -707,12 +707,15 @@ def decoder_forward_with_qk(
     alignment heads (functional replacement for the reference's forward hooks,
     whisper_at/timing.py:185-191).
 
-    Returns (logits [1, S, V] fp32, qk_sel [n_sel, S, F] fp32) where qk_sel
-    rows are the pre-softmax cross-attention logits of the selected
-    (layer, head) pairs, already scaled by d_head**-0.5.
+    Returns (logits [B, S, V] fp32, qk_sel [B, n_sel, S, F] fp32) where
+    qk_sel rows are the pre-softmax cross-attention logits of the selected
+    (layer, head) pairs, already scaled by d_head**-0.5. Batched rows are
+    independent (causal self-attention), so right-padded token rows give
+    the same valid-position outputs as their exact-length solo forwards —
+    the batched word-timing alignment (timing.find_alignment_batched)
+    relies on this.
     """
-    s = tokens.shape[1]
-    pos = jnp.arange(s, dtype=jnp.int32)
+    b, s = tokens.shape
     x = (
         jnp.take(params["token_embedding"], tokens, axis=0)
         + params["positional_embedding"][:s]
@@ -724,7 +727,8 @@ def decoder_forward_with_qk(
 
     xa = xa.astype(compute_dtype)
     f = xa.shape[1]
-    qk_buf = jnp.zeros((n_sel + 1, s, f), jnp.float32)  # last row = drop slot
+    # last slot row = drop
+    qk_buf = jnp.zeros((b, n_sel + 1, s, f), jnp.float32)
 
     def body(carry, xs):
         h, qk_buf = carry
@@ -748,8 +752,8 @@ def decoder_forward_with_qk(
         cv = linear(block_params["cross_attn"]["value"], xa)
         attn_out, qk = attention(q, ck, cv, n_head, return_qk=True)
         h = h + linear(block_params["cross_attn"]["out"], attn_out)
-        # qk [1, H, S, F] fp32; scatter this layer's selected heads
-        qk_buf = qk_buf.at[slot_row].set(qk[0])
+        # qk [B, H, S, F] fp32; scatter this layer's selected heads
+        qk_buf = qk_buf.at[:, slot_row].set(qk)
 
         h = h + mlp(block_params["mlp"], layer_norm(block_params["mlp_ln"], h))
         return (h, qk_buf), None
@@ -759,7 +763,7 @@ def decoder_forward_with_qk(
     )
     x = layer_norm(params["ln"], x)
     logits = project_logits(params, x)
-    return logits, qk_buf[:n_sel]
+    return logits, qk_buf[:, :n_sel]
 
 
 def project_logits(params: dict, hidden: jnp.ndarray) -> jnp.ndarray:

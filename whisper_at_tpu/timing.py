@@ -9,7 +9,7 @@ reference's duration-outlier heuristics.
 """
 
 from dataclasses import dataclass
-from typing import List
+from typing import List, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -82,23 +82,58 @@ def find_alignment(
 
     # weight processing (timing.py:205-214): softmax over the valid frames,
     # per-head z-norm across tokens, median filter along frames
-    weights = jnp.asarray(qk)[:, :, : num_frames // 2]  # [n_sel, S, F]
+    weights = _process_qk_weights(
+        jnp.asarray(qk)[0][None], num_frames, qk_scale, medfilt_width
+    )[0]
+    matrix = np.asarray(weights)
+    matrix = matrix[len(tokenizer.sot_sequence) : -1]
+    return _alignment_from_matrix(matrix, text_token_probs, tokenizer,
+                                  text_tokens)
+
+
+def _process_qk_weights(qk, num_frames, qk_scale, medfilt_width, lens=None):
+    """Reference weight chain on a [B, n_sel, S, F] qk stack (softmax over
+    the valid frames, per-head z-norm across tokens, median filter along
+    frames), head-averaged to [B, S, F'] — shared by the solo and batched
+    alignment paths. Every row must share one num_frames.
+
+    `lens` ([B] int32, batched path): per-row valid token counts — the
+    z-norm statistics run over each row's valid positions only, matching
+    what the solo path computes on its exact-length tensor (right-padded
+    positions would otherwise pollute the per-head mean/std)."""
+    weights = qk[:, :, :, : num_frames // 2]
     weights = jnp.exp(
         weights * qk_scale
         - jnp.max(weights * qk_scale, axis=-1, keepdims=True)
     )
     weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
-    mean = jnp.mean(weights, axis=-2, keepdims=True)
-    std = jnp.std(weights, axis=-2, keepdims=True)
+    if lens is None:
+        mean = jnp.mean(weights, axis=-2, keepdims=True)
+        std = jnp.std(weights, axis=-2, keepdims=True)
+    else:
+        s = weights.shape[-2]
+        valid = (jnp.arange(s)[None, :] < lens[:, None])[:, None, :, None]
+        cnt = lens.astype(jnp.float32)[:, None, None, None]
+        masked = jnp.where(valid, weights, 0.0)
+        mean = jnp.sum(masked, axis=-2, keepdims=True) / cnt
+        var = jnp.sum(
+            jnp.where(valid, (weights - mean) ** 2, 0.0),
+            axis=-2, keepdims=True,
+        ) / cnt
+        std = jnp.sqrt(var)
     weights = (weights - mean) / std
     weights = median_filter(weights, medfilt_width)
+    return jnp.mean(weights, axis=1)
 
-    matrix = np.asarray(jnp.mean(weights, axis=0))
-    matrix = matrix[len(tokenizer.sot_sequence) : -1]
+
+def _alignment_from_matrix(matrix, text_token_probs, tokenizer, text_tokens):
+    """DTW + word carving + duration heuristics on a processed
+    [len(text)+1, F'] attention matrix — the host tail shared by
+    find_alignment and find_alignment_batched."""
     text_indices, time_indices = dtw(-matrix)
 
     words, word_tokens = tokenizer.split_to_word_tokens(
-        text_tokens + [tokenizer.eot]
+        list(text_tokens) + [tokenizer.eot]
     )
     word_boundaries = np.pad(np.cumsum([len(t) for t in word_tokens[:-1]]), (1, 0))
 
@@ -137,6 +172,108 @@ def find_alignment(
             words, word_tokens, start_times, end_times, word_probabilities
         )
     ]
+
+
+def find_alignment_batched(
+    model,
+    tokenizer: Tokenizer,
+    text_tokens_list: List[List[int]],
+    mels,
+    num_frames_list: List[int],
+    *,
+    medfilt_width: int = 7,
+    qk_scale: float = 1.0,
+) -> List[List[WordTiming]]:
+    """Batched `find_alignment`: ONE fp32 encoder forward and ONE
+    QK-capturing decoder forward for N windows, instead of a batch-1 pair
+    (plus a full [S, V] logits pull) per window.
+
+    Token rows are right-padded to a bucketed common length — exact for
+    the valid positions under the causal mask (decoder_forward_with_qk
+    docstring); the z-norm masks padding (``_process_qk_weights``). The
+    per-token probabilities come from an on-device fp32 softmax where the
+    solo path softmaxes float64 on host — ~1e-7-level differences, far
+    below the 0.01 s rounding of the emitted word records (word TEXTS are
+    unaffected: they derive from tokens, not the alignment). DTW and word
+    carving stay per-window host work.
+
+    mels: [N, 80, F_mel] stacked windows (array or list);
+    num_frames_list: per-window valid frame counts. Empty token lists
+    return [] rows without joining the device batch.
+    """
+    import jax
+
+    n = len(text_tokens_list)
+    out: List[List[WordTiming]] = [[] for _ in range(n)]
+    live = [i for i in range(n) if len(text_tokens_list[i]) > 0]
+    if not live:
+        return out
+
+    sl = len(tokenizer.sot_sequence)
+    head_mask = np.asarray(model.alignment_heads, bool)
+    n_layer, n_head = head_mask.shape
+    n_sel = int(head_mask.sum())
+    sel_slot = np.full((n_layer, n_head), n_sel, np.int32)
+    sel_slot[head_mask] = np.arange(n_sel)
+
+    rows = [
+        [*tokenizer.sot_sequence, tokenizer.no_timestamps,
+         *text_tokens_list[i], tokenizer.eot]
+        for i in live
+    ]
+    s_max = max(len(r) for r in rows)
+    assert s_max <= model.dims.n_text_ctx, (
+        f"window token sequence {s_max} exceeds n_text_ctx"
+    )
+    # bucket the padded length so fluctuating window texts reuse a few
+    # compiled programs (the same ladder rationale as _batch_bucket)
+    s_pad = min(-(-s_max // 64) * 64, model.dims.n_text_ctx)
+    toks = np.full((len(live), s_pad), tokenizer.eot, np.int32)
+    for j, r in enumerate(rows):
+        toks[j, : len(r)] = r
+    lens = np.asarray([len(r) for r in rows], np.int32)
+
+    mels = jnp.stack([jnp.asarray(m) for m in mels]) \
+        if isinstance(mels, (list, tuple)) else jnp.asarray(mels)
+    if mels.ndim == 2:
+        mels = mels[None]
+    audio_features, _ = model.embed_audio(mels[np.asarray(live)], fp16=False)
+
+    logits, qk = decoder_forward_with_qk(
+        model.params["decoder"],
+        jnp.asarray(toks),
+        audio_features,
+        jnp.asarray(sel_slot),
+        model.dims.n_text_head,
+        n_sel,
+        jnp.float32,
+    )
+    # per-token probabilities on device: position sl+i predicts text token
+    # i (solo path: sampled_logits = logits[sl:, :eot]); the D2H pull is
+    # [G, S] instead of G x [S, V]
+    probs = jax.nn.softmax(logits[:, sl:-1, : tokenizer.eot], axis=-1)
+    tgt = jnp.minimum(jnp.asarray(toks[:, sl + 1:], jnp.int32),
+                      tokenizer.eot - 1)
+    text_probs = np.asarray(
+        jnp.take_along_axis(probs, tgt[..., None], axis=-1)[..., 0]
+    )  # [G, s_pad - sl - 1]
+
+    groups = {}
+    for j, i in enumerate(live):
+        groups.setdefault(int(num_frames_list[i]), []).append(j)
+    for nf, idxs in groups.items():
+        w = np.asarray(_process_qk_weights(
+            qk[np.asarray(idxs)], nf, qk_scale, medfilt_width,
+            lens=jnp.asarray(lens[np.asarray(idxs)]),
+        ))  # [G, s_pad, F']
+        for row, j in enumerate(idxs):
+            i = live[j]
+            text = text_tokens_list[i]
+            matrix = w[row, sl : sl + len(text) + 1]
+            out[i] = _alignment_from_matrix(
+                matrix, text_probs[j, : len(text)].tolist(), tokenizer, text
+            )
+    return out
 
 
 def _glue(source: WordTiming, target: WordTiming, source_first: bool) -> None:
@@ -234,6 +371,53 @@ def add_word_timestamps(
         [t for seg in tokens_per_segment for t in seg],
         mel, num_frames, **kwargs,
     )
+    _apply_alignment(segments, alignment, tokens_per_segment,
+                     prepend_punctuations, append_punctuations)
+
+
+def add_word_timestamps_many(
+    *,
+    window_jobs: List[Tuple[List[dict], "jnp.ndarray", int]],
+    model,
+    tokenizer: Tokenizer,
+    prepend_punctuations: str = "\"'“¿([{-",
+    append_punctuations: str = "\"'.。,，!！?？:：”)]}、",
+    **kwargs,
+):
+    """`add_word_timestamps` for MANY windows at once: one batched
+    alignment forward (find_alignment_batched) replaces a batch-1 encoder
+    + decoder pair per window; punctuation merge and word carving stay
+    per window. window_jobs: (segments, mel_window [80, F], num_frames)
+    triples — segments are modified in place."""
+    jobs = [j for j in window_jobs if len(j[0]) > 0]
+    if not jobs:
+        return
+    tok_lists = []
+    seg_tok_lists = []
+    for segments, _, _ in jobs:
+        per_seg = [
+            [t for t in seg["tokens"] if t < tokenizer.eot]
+            for seg in segments
+        ]
+        seg_tok_lists.append(per_seg)
+        tok_lists.append([t for seg in per_seg for t in seg])
+    alignments = find_alignment_batched(
+        model, tokenizer, tok_lists,
+        [mel for _, mel, _ in jobs],
+        [nf for _, _, nf in jobs],
+        **kwargs,
+    )
+    for (segments, _, _), alignment, per_seg in zip(
+        jobs, alignments, seg_tok_lists
+    ):
+        _apply_alignment(segments, alignment, per_seg,
+                         prepend_punctuations, append_punctuations)
+
+
+def _apply_alignment(segments, alignment, tokens_per_segment,
+                     prepend_punctuations, append_punctuations):
+    """Punctuation merge + per-segment word carving + boundary snapping
+    (the host tail shared by the solo and batched attach paths)."""
     merge_punctuations(alignment, prepend_punctuations, append_punctuations)
 
     time_offset = segments[0]["seek"] * HOP_LENGTH / SAMPLE_RATE

@@ -56,6 +56,10 @@ _PUNCT_APPEND = "\"'.。,，!！?？:：”)]}、"
 # throughput sweet spot: weights/logits amortize across rows while M stays
 # under the 128-row MXU tile; 32 regresses.
 DEFAULT_MAX_BATCH = 24
+# windows per batched word-timing alignment forward: the alignment runs
+# the encoder in fp32 (parity path) and captures [B, n_sel, S, F] QK
+# stacks, so its memory-optimal batch is smaller than the decode's
+_ALIGN_BATCH = 8
 
 
 # --------------------------------------------------------------------------- #
@@ -487,6 +491,7 @@ def _assemble_windows(model, results, windows, content_frames, tokenizer,
     """
     all_segments: List[dict] = []
     all_tokens: List[int] = []
+    per_window: List[Tuple[List[dict], int, int]] = []  # (segs, w, size)
     for w, result in tqdm.tqdm(list(enumerate(results)), unit="win",
                                disable=verbose is not False):
         seek = w * N_FRAMES
@@ -517,13 +522,25 @@ def _assemble_windows(model, results, windows, content_frames, tokenizer,
                 continue
             window_segments.append(seg)
             all_tokens.extend(seg["tokens"])
+        per_window.append((window_segments, w, segment_size))
 
-        if word_timestamps and window_segments:
-            _attach_word_timings(
-                model, tokenizer, window_segments, windows[w], segment_size,
-                prepend_punctuations, append_punctuations,
+    if word_timestamps:
+        # ONE batched alignment forward per chunk instead of a batch-1
+        # encoder+decoder pair per window (timing.add_word_timestamps_many);
+        # chunked to bound the fp32 alignment forward's memory
+        from .timing import add_word_timestamps_many
+
+        jobs = [(segs, windows[w], seg_size)
+                for segs, w, seg_size in per_window if segs]
+        for lo in range(0, len(jobs), _ALIGN_BATCH):
+            add_word_timestamps_many(
+                window_jobs=jobs[lo:lo + _ALIGN_BATCH], model=model,
+                tokenizer=tokenizer,
+                prepend_punctuations=prepend_punctuations,
+                append_punctuations=append_punctuations,
             )
 
+    for window_segments, _, _ in per_window:
         for seg in window_segments:
             seg["id"] = len(all_segments)
             all_segments.append(seg)
