@@ -21,6 +21,8 @@ programs; this module is host-side control only.
 
 from typing import List, Optional, Tuple, Union
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -527,18 +529,27 @@ def _assemble_windows(model, results, windows, content_frames, tokenizer,
     if word_timestamps:
         # ONE batched alignment forward per chunk instead of a batch-1
         # encoder+decoder pair per window (timing.add_word_timestamps_many);
-        # chunked to bound the fp32 alignment forward's memory
-        from .timing import add_word_timestamps_many
-
+        # chunked to bound the fp32 alignment forward's memory.
+        # WHISPER_AT_TPU_ALIGN=solo reverts to the per-window path
+        # (A/B lever + safety valve; read per call, never inside jit)
         jobs = [(segs, windows[w], seg_size)
                 for segs, w, seg_size in per_window if segs]
-        for lo in range(0, len(jobs), _ALIGN_BATCH):
-            add_word_timestamps_many(
-                window_jobs=jobs[lo:lo + _ALIGN_BATCH], model=model,
-                tokenizer=tokenizer,
-                prepend_punctuations=prepend_punctuations,
-                append_punctuations=append_punctuations,
-            )
+        if os.environ.get("WHISPER_AT_TPU_ALIGN") == "solo":
+            for segs, mel_w, seg_size in jobs:
+                _attach_word_timings(
+                    model, tokenizer, segs, mel_w, seg_size,
+                    prepend_punctuations, append_punctuations,
+                )
+        else:
+            from .timing import add_word_timestamps_many
+
+            for lo in range(0, len(jobs), _ALIGN_BATCH):
+                add_word_timestamps_many(
+                    window_jobs=jobs[lo:lo + _ALIGN_BATCH], model=model,
+                    tokenizer=tokenizer,
+                    prepend_punctuations=prepend_punctuations,
+                    append_punctuations=append_punctuations,
+                )
 
     for window_segments, _, _ in per_window:
         for seg in window_segments:
