@@ -445,12 +445,13 @@ def _run_streaming_measurement(args, model, common):
         return _time.perf_counter() - t0
 
     try:
-        # warmup drive: n concurrent short sessions, so every batch-bucket
-        # shape the measured drive will hit (mel groups, decode rungs, tag
-        # groups at sizes up to n) is compiled/cache-loaded BEFORE timing —
-        # a single-session warmup only covers bucket 1, and one cold
-        # large-v1 compile costs tens of seconds on the tunnel
-        drive_all([wave(99 + i)[: 16000 * 32] for i in range(n)], None)
+        # warmup: n concurrent short sessions via the service's own warmup
+        # API, so every batch-bucket shape the measured drive will hit (mel
+        # groups, decode rungs, tag groups at sizes up to n) is
+        # compiled/cache-loaded BEFORE timing — a single-session warmup
+        # only covers bucket 1, and one cold large-v1 compile costs tens
+        # of seconds on the tunnel
+        service.warmup(n, **session_opts)
         warm_stats = service.stats()
 
         lats = []
@@ -769,6 +770,7 @@ def orchestrate(args):
         remaining = deadline - time.time()
         if remaining < 180:
             sweep["presets"].setdefault(name, {"skipped": "budget exhausted"})
+            save()  # observed 2026-08-20: skip entries never reached disk
             continue
         # 600 s: a preset's first pass pays its model's compile when the
         # disk cache is cold AND may land in a service slump — a 480 s cap

@@ -497,3 +497,21 @@ def test_streaming_service_batches_language_detection(model):
     # both sessions' first windows arrived inside one fill window: ONE
     # batched detection forward
     assert stats["detect_batches"] == 1
+
+
+def test_streaming_service_warmup(model):
+    """warmup(n) drives n concurrent synthetic sessions through every
+    cross-session batching surface and leaves the service usable."""
+    from whisper_at_tpu.streaming import StreamingService
+
+    with StreamingService(model, max_wait_s=0.05) as service:
+        r = service.warmup(2, seconds=31.0, **OPTS)
+        assert r["sessions"] == 2 and r["seconds"] > 0
+        stats = service.stats()
+        assert stats["windows"] >= 2  # one finalized window per session
+        # the service still serves a real session afterwards
+        sess = service.open(**OPTS)
+        sess.feed(_clicky_audio(31, seed=9))
+        result = sess.finish()
+        assert result["language"] == "en"
+        assert np.asarray(result["audio_tag"]).shape[1] == 527

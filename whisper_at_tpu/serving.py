@@ -210,6 +210,43 @@ class TranscriptionService:
         """Synchronous convenience: ``submit(...).result()``."""
         return self.submit(audio, **overrides).result()
 
+    def warmup(self, *, buckets=None, clip_seconds: float = 1.0,
+               **overrides) -> dict:
+        """Precompile the device programs production traffic will hit.
+
+        A cold large-v1 decode program costs tens of seconds to compile
+        (more over a tunneled backend); a deployment wants that paid at
+        startup, not by its first requests. Drives ``transcribe_many``
+        directly — the exact jitted programs the scheduler dispatches —
+        with ``k`` one-window synthetic tone clips for every ``k`` in the
+        decode path's batch-bucket ladder (or the given ``buckets``),
+        under the service's default options (per-call ``overrides`` win,
+        same as ``submit``). Bypasses the scheduler, so service stats are
+        untouched. Returns ``{bucket: seconds}``.
+        """
+        from .transcribe import _batch_bucket
+
+        if buckets is None:
+            buckets = sorted({
+                _batch_bucket(n, self.max_batch)
+                for n in range(1, self.max_batch + 1)
+            })
+        options = dict(self.default_options)
+        options.update(overrides)
+        t = np.arange(int(SAMPLE_RATE * clip_seconds)) / SAMPLE_RATE
+        took = {}
+        for k in buckets:
+            clips = [
+                (0.3 * np.sin(2 * np.pi * (220.0 + 5 * i) * t))
+                .astype(np.float32)
+                for i in range(int(k))
+            ]
+            t0 = time.monotonic()
+            transcribe_many(self.model, clips, max_batch=self.max_batch,
+                            mesh=self.mesh, **options)
+            took[int(k)] = round(time.monotonic() - t0, 3)
+        return took
+
     def stats(self) -> dict:
         with self._stats_lock:
             s = dict(self._stats)
@@ -748,6 +785,11 @@ def main(argv=None):
                              "confined to files under DIR (off by default: "
                              "a network client must never read arbitrary "
                              "server paths)")
+    parser.add_argument("--warmup", type=int, default=0, metavar="N",
+                        help="precompile before accepting traffic: the "
+                             "batch service's bucket ladder plus N "
+                             "concurrent streaming sessions (0 = off; "
+                             "first requests then pay the compiles)")
     args = parser.parse_args(argv)
 
     model = (build_model(args.model, seed=0) if args.random
@@ -769,6 +811,14 @@ def main(argv=None):
                                  None if args.max_total_wait_ms is None
                                  else args.max_total_wait_ms / 1000.0),
                              **options) as stream_service:
+        if args.warmup > 0:
+            t0 = time.monotonic()
+            took = service.warmup()
+            stream_took = stream_service.warmup(args.warmup)
+            print(f"warmup: batch buckets {took}, "
+                  f"{stream_took['sessions']} streaming sessions in "
+                  f"{stream_took['seconds']}s "
+                  f"(total {time.monotonic() - t0:.1f}s)", flush=True)
         print(f"serving {args.model} on http://{args.host}:{args.port} "
               f"(max_batch={args.max_batch})", flush=True)
         serve_http(service, args.host, args.port,

@@ -551,6 +551,46 @@ class StreamingService:
             detect_executor=self._detect, **session_options
         )
 
+    def warmup(self, n: int = 8, *, seconds: float = 32.0,
+               **session_options) -> dict:
+        """Precompile the programs ``n`` concurrent live streams will hit.
+
+        Drives ``n`` short concurrent synthetic sessions to completion, so
+        every batch-bucket shape a production load of up to ``n`` streams
+        reaches — mel groups, decode rungs, tag groups, and (when the
+        language is unpinned on a multilingual model) the batched
+        language-detection forward — is compiled before real audio
+        arrives. A cold large-v1 bucket compile costs tens of seconds on a
+        tunneled backend, which would otherwise land on the first windows
+        of real streams. ``session_options`` should match what production
+        ``open()`` calls will use. Returns ``{"sessions": n,
+        "seconds": wall}``; the driven windows stay in the service stats.
+        """
+        import threading as _threading
+        import time as _time
+
+        t = np.arange(int(SAMPLE_RATE * seconds)) / SAMPLE_RATE
+        waves = [
+            (0.3 * np.sin(2 * np.pi * (220.0 + 10 * i) * t))
+            .astype(np.float32)
+            for i in range(int(n))
+        ]
+        sessions = [self.open(**session_options) for _ in waves]
+
+        def drive(i):
+            sessions[i].feed(waves[i])
+            sessions[i].finish()
+
+        t0 = _time.monotonic()
+        threads = [_threading.Thread(target=drive, args=(i,))
+                   for i in range(len(waves))]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        return {"sessions": int(n),
+                "seconds": round(_time.monotonic() - t0, 3)}
+
     def stats(self) -> dict:
         with self._stats_lock:
             s = dict(self._stats)
