@@ -141,6 +141,12 @@ def build_parser():
                         "throughput (batched 10 s clips -> all-layer taps "
                         "-> device 20x pooling -> fp32 host fetch) instead "
                         "of transcription")
+    parser.add_argument("--words", action="store_true",
+                        help="transcribe with word_timestamps=True (batched "
+                             "alignment attach: one fp32 encoder + QK "
+                             "decoder forward per 8-window chunk + host "
+                             "DTW); measures the feature's full cost on "
+                             "top of the headline pipeline")
     parser.add_argument("--resident", action="store_true",
                         help="measure with device-resident input (audio "
                              "transfers forced complete before the timed "
@@ -205,6 +211,8 @@ def run_measurement(args):
     )
     if preset.get("task"):
         common["task"] = preset["task"]
+    if args.words:
+        common["word_timestamps"] = True
     if preset.get("beam"):
         common["beam_size"] = preset["beam"]
     elif args.beam:
@@ -328,6 +336,7 @@ def run_measurement(args):
         "metric": f"{args.size} {mode} transcribe+tag throughput "
                   f"({args.tokens} tok/30s-window, batch {args.batch}, "
                   f"{'device-resident input, ' if args.resident else ''}"
+                  f"{'word timestamps, ' if args.words else ''}"
                   f"{beam_tag}"
                   f"{f'int{args.kv_bits} cross-KV, ' if args.kv_quant else ''}"
                   f"{'int8 weights, ' if args.weight_quant else ''}"
@@ -620,6 +629,10 @@ def build_attempt_plan(args):
         # headline-only for the same reason; the default sweep's
         # informational resident row adds this itself
         mode.append("--resident")
+    if args.words:
+        # headline-only; the default sweep's informational words row
+        # adds this itself
+        mode.append("--words")
     return ladder, mode
 
 
@@ -841,6 +854,13 @@ def orchestrate(args):
     # that tunnel tax from the driver's artifact.
     if not args.resident:
         info_row("headline-resident-input", ["--resident"])
+
+    # the headline with word timestamps on — the batched alignment attach
+    # (timing.add_word_timestamps_many: one fp32 encoder + QK decoder
+    # forward per 8-window chunk + host DTW), so the feature's measured
+    # cost on top of the headline pipeline is driver-auditable
+    if not args.words:
+        info_row("headline-words", ["--words"])
     return 0
 
 

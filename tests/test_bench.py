@@ -79,6 +79,19 @@ def test_resident_is_headline_only(bench):
     assert "--resident" not in preset_mode
 
 
+def test_words_is_headline_only(bench):
+    """--words must reach the headline worker but never ride
+    passthrough_flags into the preset sweep (the sweep adds its own
+    informational headline-words row)."""
+    args = _args(bench, ["--words"])
+    _, mode = bench.build_attempt_plan(args)
+    assert "--words" in mode
+    assert "--words" not in bench.passthrough_flags(args)
+    _, preset_mode = bench.build_attempt_plan(
+        _args(bench, ["--words", "--config", "large-beam"]))
+    assert "--words" not in preset_mode
+
+
 def test_configs_cover_all_baseline_presets(bench):
     assert set(bench.CONFIGS) == {
         "tiny-single", "base-10min", "small-low", "medium-translate",

@@ -8,9 +8,11 @@ tokens into words, and distribute timings back into the segments with the
 reference's duration-outlier heuristics.
 """
 
+import functools
 from dataclasses import dataclass
 from typing import List, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -91,6 +93,9 @@ def find_alignment(
                                   text_tokens)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("num_frames", "qk_scale", "medfilt_width")
+)
 def _process_qk_weights(qk, num_frames, qk_scale, medfilt_width, lens=None):
     """Reference weight chain on a [B, n_sel, S, F] qk stack (softmax over
     the valid frames, per-head z-norm across tokens, median filter along
@@ -100,7 +105,13 @@ def _process_qk_weights(qk, num_frames, qk_scale, medfilt_width, lens=None):
     `lens` ([B] int32, batched path): per-row valid token counts — the
     z-norm statistics run over each row's valid positions only, matching
     what the solo path computes on its exact-length tensor (right-padded
-    positions would otherwise pollute the per-head mean/std)."""
+    positions would otherwise pollute the per-head mean/std).
+
+    jitted: the default alignment-head mask selects ALL heads of the last
+    half of layers (320 for large-v1), so this chain's [B, n_sel, S, F]
+    intermediates reach gigabytes — eager op-by-op execution materializes
+    every step (measured RESOURCE_EXHAUSTED on a 16 GB chip at B=8);
+    under jit XLA fuses the chain into a couple of live buffers."""
     weights = qk[:, :, :, : num_frames // 2]
     weights = jnp.exp(
         weights * qk_scale
@@ -124,6 +135,20 @@ def _process_qk_weights(qk, num_frames, qk_scale, medfilt_width, lens=None):
     weights = (weights - mean) / std
     weights = median_filter(weights, medfilt_width)
     return jnp.mean(weights, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("sl", "eot"))
+def _token_probs_from_logits(logits, toks, sl, eot):
+    """Per-position probability of the actually-sampled next token:
+    exp(logit[target] - logsumexp(logits)) — identical math to softmax +
+    gather, but fused so the [G, S, V] fp32 vocab axis reduces in one pass
+    instead of materializing eager exp/sum/div copies (~750 MB each at
+    large-v1 G=8). Position sl+i predicts text token i (solo path:
+    sampled_logits = logits[sl:, :eot])."""
+    lg = logits[:, sl:-1, :eot]
+    tgt = jnp.minimum(toks[:, sl + 1:].astype(jnp.int32), eot - 1)
+    tgt_logit = jnp.take_along_axis(lg, tgt[..., None], axis=-1)[..., 0]
+    return jnp.exp(tgt_logit - jax.nn.logsumexp(lg, axis=-1))
 
 
 def _alignment_from_matrix(matrix, text_token_probs, tokenizer, text_tokens):
@@ -201,8 +226,6 @@ def find_alignment_batched(
     num_frames_list: per-window valid frame counts. Empty token lists
     return [] rows without joining the device batch.
     """
-    import jax
-
     n = len(text_tokens_list)
     out: List[List[WordTiming]] = [[] for _ in range(n)]
     live = [i for i in range(n) if len(text_tokens_list[i]) > 0]
@@ -248,22 +271,22 @@ def find_alignment_batched(
         n_sel,
         jnp.float32,
     )
-    # per-token probabilities on device: position sl+i predicts text token
-    # i (solo path: sampled_logits = logits[sl:, :eot]); the D2H pull is
-    # [G, S] instead of G x [S, V]
-    probs = jax.nn.softmax(logits[:, sl:-1, : tokenizer.eot], axis=-1)
-    tgt = jnp.minimum(jnp.asarray(toks[:, sl + 1:], jnp.int32),
-                      tokenizer.eot - 1)
+    # per-token probabilities on device (fused gather + logsumexp); the
+    # D2H pull is [G, S] instead of G x [S, V]
     text_probs = np.asarray(
-        jnp.take_along_axis(probs, tgt[..., None], axis=-1)[..., 0]
+        _token_probs_from_logits(logits, jnp.asarray(toks), sl,
+                                 tokenizer.eot)
     )  # [G, s_pad - sl - 1]
 
     groups = {}
     for j, i in enumerate(live):
         groups.setdefault(int(num_frames_list[i]), []).append(j)
     for nf, idxs in groups.items():
+        # all windows usually share one num_frames (full 30 s windows):
+        # skip the gather copy of the multi-GB qk stack in that case
+        sub = qk if len(idxs) == qk.shape[0] else qk[np.asarray(idxs)]
         w = np.asarray(_process_qk_weights(
-            qk[np.asarray(idxs)], nf, qk_scale, medfilt_width,
+            sub, nf, qk_scale, medfilt_width,
             lens=jnp.asarray(lens[np.asarray(idxs)]),
         ))  # [G, s_pad, F']
         for row, j in enumerate(idxs):
@@ -401,12 +424,41 @@ def add_word_timestamps_many(
         ]
         seg_tok_lists.append(per_seg)
         tok_lists.append([t for seg in per_seg for t in seg])
-    alignments = find_alignment_batched(
-        model, tokenizer, tok_lists,
-        [mel for _, mel, _ in jobs],
-        [nf for _, _, nf in jobs],
-        **kwargs,
-    )
+
+    # The QK capture is [G, n_sel, s_pad, n_audio_ctx] fp32. With the
+    # DEFAULT alignment-head mask (all heads of the last half of layers —
+    # 320 for large-v1) that is ~860 MB PER ROW at s_pad=448, so a fixed
+    # G OOMs a 16 GB chip; real released masks select ~10-25 heads and
+    # pack many rows per forward. Greedily pack rows under a byte budget
+    # (each row costed at its own 64-bucketed padded length).
+    sl = len(tokenizer.sot_sequence)
+    n_sel = max(int(np.asarray(model.alignment_heads, bool).sum()), 1)
+    row_bytes = [
+        n_sel * min(-(-(len(t) + sl + 2) // 64) * 64,
+                    model.dims.n_text_ctx) * model.dims.n_audio_ctx * 4
+        for t in tok_lists
+    ]
+    budget = 1.2e9  # qk bytes; the jitted weight chain peaks at ~2-3x this
+    chunks, cur, cur_bytes = [], [], 0
+    for i, b in enumerate(row_bytes):
+        if cur and cur_bytes + b > budget:
+            chunks.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(i)
+        cur_bytes += b
+    if cur:
+        chunks.append(cur)
+
+    alignments = [None] * len(jobs)
+    for idxs in chunks:
+        sub = find_alignment_batched(
+            model, tokenizer, [tok_lists[i] for i in idxs],
+            [jobs[i][1] for i in idxs],
+            [jobs[i][2] for i in idxs],
+            **kwargs,
+        )
+        for i, a in zip(idxs, sub):
+            alignments[i] = a
     for (segments, _, _), alignment, per_seg in zip(
         jobs, alignments, seg_tok_lists
     ):
