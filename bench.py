@@ -865,7 +865,13 @@ def orchestrate(args):
 
 
 def main():
-    args = build_parser().parse_args()
+    parser = build_parser()
+    args = parser.parse_args()
+    if args.extract and args.words:
+        # the extraction path never decodes, so word_timestamps cannot apply;
+        # silently ignoring it would mislabel the measurement
+        parser.error("--words does not apply to --extract (feature "
+                     "extraction has no decode/alignment stage)")
     if args.worker:
         result = run_measurement(args)
         print(RESULT_MARKER + json.dumps(result), flush=True)

@@ -145,6 +145,74 @@ def test_validate_tool_end_to_end_on_synthetic_pair(tmp_path):
     assert str(goldens["model"]) == "tiny.pt"
 
 
+def test_download_checksum_cache_mismatch_warns(tmp_path):
+    """A cached file whose sha256 differs from the URL's embedded digest
+    warns loudly (it may be an intentional local substitute) instead of
+    failing later with an opaque torch deserialize error."""
+    from whisper_at_tpu import _download
+    from whisper_at_tpu.registry import _MODELS
+
+    (tmp_path / "tiny.pt").write_bytes(b"corrupted bytes")
+    with pytest.warns(UserWarning, match="sha256"):
+        out = _download(_MODELS["tiny"], str(tmp_path), in_memory=False)
+    assert out == str(tmp_path / "tiny.pt")
+
+
+def test_download_checksum_fresh_mismatch_raises(tmp_path, monkeypatch):
+    """A FRESH download that fails the URL's sha256 is deleted and raises a
+    clear corruption error (the reference ships this check commented out)."""
+    import io
+    import urllib.request
+
+    from whisper_at_tpu import _download
+
+    payload = b"not the released checkpoint"
+
+    class FakeResponse(io.BytesIO):
+        def info(self):
+            return {"Content-Length": str(len(payload))}
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    monkeypatch.setattr(
+        urllib.request, "urlopen", lambda url: FakeResponse(payload)
+    )
+    url = ("https://example.invalid/" + "0" * 64 + "/tiny.pt")
+    with pytest.raises(RuntimeError, match="corrupted"):
+        _download(url, str(tmp_path), in_memory=False)
+    assert not (tmp_path / "tiny.pt").exists()
+
+    # matching digest succeeds and caches
+    import hashlib
+
+    good_url = (
+        "https://example.invalid/"
+        + hashlib.sha256(payload).hexdigest()
+        + "/tiny.pt"
+    )
+    out = _download(good_url, str(tmp_path), in_memory=False)
+    assert open(out, "rb").read() == payload
+
+
+def test_download_no_checksum_url_skips_verification(tmp_path):
+    """TL-TR head URLs (dropbox) carry no digest — cached files load
+    without warnings."""
+    import warnings as _warnings
+
+    from whisper_at_tpu import _download
+    from whisper_at_tpu.registry import _MODELS_AT
+
+    (tmp_path / "tiny_ori.pth").write_bytes(b"head bytes")
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        out = _download(_MODELS_AT["tiny"], str(tmp_path), in_memory=True)
+    assert out == b"head bytes"
+
+
 REAL_TINY = os.path.expanduser("~/.cache/whisper/tiny.pt")
 REAL_TINY_AT = os.path.expanduser("~/.cache/whisper/tiny_ori.pth")
 

@@ -306,3 +306,78 @@ def test_find_alignment_batched_matches_solo():
             assert abs(bw.end - sw.end) <= 0.021
             np.testing.assert_allclose(bw.probability, sw.probability,
                                        rtol=1e-4, atol=1e-6)
+
+
+def test_add_word_timestamps_many_packing_and_reassembly(monkeypatch):
+    """The greedy byte-budget packing in add_word_timestamps_many: chunks
+    are costed at the CHUNK-MAX bucketed length (find_alignment_batched
+    pads every row in a chunk to it), an over-budget single row still runs
+    alone, and alignments reassemble to their originating jobs regardless
+    of the bucketed-length-sorted processing order."""
+    import types
+
+    import whisper_at_tpu.timing as timing_mod
+    from whisper_at_tpu.timing import add_word_timestamps_many
+
+    tokenizer = get_tokenizer(True, language="en", task="transcribe")
+    sl = len(tokenizer.sot_sequence)
+
+    # a wide-open head mask makes row costs large enough to force chunking:
+    # n_sel=640, per-s bytes = 640*1500*4 = 3.84e6 -> bucket-64 row 245.8 MB
+    # (4 per 1.2 GB chunk), bucket-448 row 1.72 GB (always alone)
+    model = types.SimpleNamespace(
+        alignment_heads=np.ones((32, 20), bool),
+        dims=types.SimpleNamespace(n_audio_ctx=1500, n_text_ctx=448),
+    )
+
+    def job(n_tokens, seek=0):
+        toks = [100 + n_tokens] * n_tokens
+        seg = dict(seek=seek, start=0.0, end=1.0, tokens=list(toks))
+        return ([seg], None, 3000)
+
+    # 6 short rows (bucket 64) + 1 long row (bucket 448) + 1 empty-token job
+    jobs = [job(3), job(380), job(4), job(5), job(6), job(7), job(8)]
+    empty_seg = dict(seek=0, start=0.0, end=1.0,
+                     tokens=[tokenizer.timestamp_begin])
+    jobs.append(([empty_seg], None, 3000))
+
+    recorded = []
+
+    def fake_batched(model_, tokenizer_, tok_lists, mels, num_frames,
+                     **kwargs):
+        recorded.append([list(t) for t in tok_lists])
+        return [
+            [WordTiming(word=f" id{t[0]}", tokens=list(t), start=0.0,
+                        end=0.5, probability=1.0)] if t else []
+            for t in tok_lists
+        ]
+
+    monkeypatch.setattr(timing_mod, "find_alignment_batched", fake_batched)
+    add_word_timestamps_many(window_jobs=jobs, model=model,
+                             tokenizer=tokenizer)
+
+    # every non-empty row processed exactly once, across all chunks
+    all_rows = [tuple(r) for chunk in recorded for r in chunk]
+    assert sorted(all_rows) == sorted(
+        [tuple(j[0][0]["tokens"]) for j in jobs[:7]] + [()]
+    )
+
+    per_s = 640 * 1500 * 4
+    for chunk in recorded:
+        buckets = [
+            min(-(-(len(r) + sl + 2) // 64) * 64, 448) for r in chunk
+        ]
+        cost = per_s * max(buckets) * len(chunk)
+        # budget holds at the chunk-max bucketed length — or it's a lone
+        # over-budget row
+        assert cost <= 1.2e9 or len(chunk) == 1
+    # the long row cannot share a chunk
+    assert [len(c) for c in recorded].count(1) >= 1
+    long_chunks = [c for c in recorded if any(len(r) == 380 for r in c)]
+    assert len(long_chunks) == 1 and len(long_chunks[0]) == 1
+
+    # reassembly: each job's words came from its own token row
+    for j in jobs[:7]:
+        seg = j[0][0]
+        assert [w["word"] for w in seg["words"]] == [f" id{seg['tokens'][0]}"]
+    assert jobs[7][0][0]["words"] == []

@@ -41,11 +41,38 @@ def available_models() -> List[str]:
     return list(_MODELS.keys())
 
 
+def _sha256_from_url(url: str) -> Optional[str]:
+    """The official Whisper URLs embed the file's sha256 as a path segment
+    (registry.py); the TL-TR head URLs do not. Returns the hex digest or
+    None when the URL carries no checksum."""
+    import re
+
+    for segment in urllib.parse.urlparse(url).path.split("/"):
+        if re.fullmatch(r"[0-9a-f]{64}", segment):
+            return segment
+    return None
+
+
 def _download(url: str, root: str, in_memory: bool) -> Union[bytes, str]:
+    """Download-with-cache, verifying the sha256 embedded in the URL path.
+
+    The reference ships this check commented out (whisper_at/__init__.py:
+    70-112), so a corrupted cache file surfaces as an opaque torch
+    deserialization error. Here: a FRESH download that does not match the
+    URL's digest is deleted and raises; a CACHED file that does not match
+    warns loudly and is used anyway — a mismatching cache may be an
+    intentional locally-substituted checkpoint under an official name
+    (the same case the alignment-heads fallback in load_model tolerates),
+    and the warning names the remedy for the corruption case.
+    """
+    import hashlib
+    import warnings
+
     os.makedirs(root, exist_ok=True)
 
     parsed_url = urllib.parse.urlparse(url).path
     download_target = os.path.join(root, os.path.basename(parsed_url))
+    expected_sha256 = _sha256_from_url(url)
 
     if os.path.exists(download_target) and not os.path.isfile(download_target):
         raise RuntimeError(f"{download_target} exists and is not a regular file")
@@ -53,8 +80,19 @@ def _download(url: str, root: str, in_memory: bool) -> Union[bytes, str]:
     if os.path.isfile(download_target):
         with open(download_target, "rb") as f:
             model_bytes = f.read()
+        if expected_sha256 is not None:
+            actual = hashlib.sha256(model_bytes).hexdigest()
+            if actual != expected_sha256:
+                warnings.warn(
+                    f"cached checkpoint {download_target} has sha256 "
+                    f"{actual[:12]}..., expected {expected_sha256[:12]}... "
+                    "from its download URL. If this is not an intentional "
+                    "local substitute, delete the file to re-download it.",
+                    stacklevel=2,
+                )
         return model_bytes if in_memory else download_target
 
+    hasher = hashlib.sha256()
     with urllib.request.urlopen(url) as source, open(download_target, "wb") as output:
         with tqdm(
             total=int(source.info().get("Content-Length")),
@@ -68,7 +106,17 @@ def _download(url: str, root: str, in_memory: bool) -> Union[bytes, str]:
                 if not buffer:
                     break
                 output.write(buffer)
+                hasher.update(buffer)
                 loop.update(len(buffer))
+
+    if expected_sha256 is not None and hasher.hexdigest() != expected_sha256:
+        os.remove(download_target)
+        raise RuntimeError(
+            f"downloaded checkpoint from {url} has sha256 "
+            f"{hasher.hexdigest()[:12]}..., expected "
+            f"{expected_sha256[:12]}...; the transfer is corrupted — "
+            "please retry."
+        )
 
     model_bytes = open(download_target, "rb").read()
     return model_bytes if in_memory else download_target

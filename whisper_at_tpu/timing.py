@@ -111,7 +111,14 @@ def _process_qk_weights(qk, num_frames, qk_scale, medfilt_width, lens=None):
     half of layers (320 for large-v1), so this chain's [B, n_sel, S, F]
     intermediates reach gigabytes — eager op-by-op execution materializes
     every step (measured RESOURCE_EXHAUSTED on a 16 GB chip at B=8);
-    under jit XLA fuses the chain into a couple of live buffers."""
+    under jit XLA fuses the chain into a couple of live buffers.
+
+    num_frames must be static (it sets the output shape), so each distinct
+    valid-frame count compiles fresh. The batched path groups rows by
+    num_frames; the solo path (WHISPER_AT_TPU_ALIGN=solo, streaming) pays
+    one compile per distinct tail-window length — only final windows of a
+    stream differ from 3000 frames, so churn is bounded at one compile per
+    distinct recording length actually seen."""
     weights = qk[:, :, :, : num_frames // 2]
     weights = jnp.exp(
         weights * qk_scale
@@ -429,23 +436,28 @@ def add_word_timestamps_many(
     # DEFAULT alignment-head mask (all heads of the last half of layers —
     # 320 for large-v1) that is ~860 MB PER ROW at s_pad=448, so a fixed
     # G OOMs a 16 GB chip; real released masks select ~10-25 heads and
-    # pack many rows per forward. Greedily pack rows under a byte budget
-    # (each row costed at its own 64-bucketed padded length).
+    # pack many rows per forward. Greedily pack rows under a byte budget.
+    # find_alignment_batched pads every row in a chunk to the chunk-max
+    # bucketed length, so the chunk is costed at max_bucket * n_rows (not
+    # each row's own bucket), and rows are packed in bucketed-length order
+    # so one long row doesn't inflate a chunk of short ones.
     sl = len(tokenizer.sot_sequence)
     n_sel = max(int(np.asarray(model.alignment_heads, bool).sum()), 1)
-    row_bytes = [
-        n_sel * min(-(-(len(t) + sl + 2) // 64) * 64,
-                    model.dims.n_text_ctx) * model.dims.n_audio_ctx * 4
+    per_s_bytes = n_sel * model.dims.n_audio_ctx * 4
+    buckets = [
+        min(-(-(len(t) + sl + 2) // 64) * 64, model.dims.n_text_ctx)
         for t in tok_lists
     ]
     budget = 1.2e9  # qk bytes; the jitted weight chain peaks at ~2-3x this
-    chunks, cur, cur_bytes = [], [], 0
-    for i, b in enumerate(row_bytes):
-        if cur and cur_bytes + b > budget:
+    order = sorted(range(len(buckets)), key=buckets.__getitem__)
+    chunks, cur, cur_max = [], [], 0
+    for i in order:
+        new_max = max(cur_max, buckets[i])
+        if cur and per_s_bytes * new_max * (len(cur) + 1) > budget:
             chunks.append(cur)
-            cur, cur_bytes = [], 0
+            cur, new_max = [], buckets[i]
         cur.append(i)
-        cur_bytes += b
+        cur_max = new_max
     if cur:
         chunks.append(cur)
 
