@@ -125,6 +125,16 @@ def build_parser():
     parser.add_argument("--beam", type=int, default=0,
                         help="beam size for non-preset runs (0 = greedy); "
                              "the large-beam preset pins its own")
+    parser.add_argument("--draft", default=None, metavar="SIZE",
+                        help="speculative greedy decoding with a SIZE "
+                             "draft model (T=0 token-exact; forces the "
+                             "plain self-KV cache). With random bench "
+                             "weights draft agreement is ~zero, so this "
+                             "measures the OVERHEAD bound; acceptance "
+                             "(tokens/round) is recorded in the result — "
+                             "real checkpoints report the data-dependent "
+                             "gain (tools/profile_spec.py for the floor "
+                             "accounting)")
     parser.add_argument("--serving", action="store_true",
                         help="serving-path measurement: many short files "
                              "through transcribe_many (cross-file window "
@@ -217,6 +227,10 @@ def run_measurement(args):
         common["beam_size"] = preset["beam"]
     elif args.beam:
         common["beam_size"] = args.beam
+    if args.draft and "beam_size" not in common:
+        common["draft_model"] = wat.build_model(args.draft,
+                                                storage_dtype=dtype, seed=1)
+        common["self_kv_quant"] = False  # per-row spec pass: plain cache
 
     if args.streaming:
         return _run_streaming_measurement(args, model, common)
@@ -332,20 +346,29 @@ def run_measurement(args):
             if args.serving else "batched")
     beam_tag = (f"beam {common['beam_size']}, " if "beam_size" in common
                 else "")
-    return {
+    spec_tag = (f"draft {args.draft}, " if "draft_model" in common else "")
+    result = {
         "metric": f"{args.size} {mode} transcribe+tag throughput "
                   f"({args.tokens} tok/30s-window, batch {args.batch}, "
                   f"{'device-resident input, ' if args.resident else ''}"
                   f"{'word timestamps, ' if args.words else ''}"
-                  f"{beam_tag}"
+                  f"{beam_tag}{spec_tag}"
                   f"{f'int{args.kv_bits} cross-KV, ' if args.kv_quant else ''}"
                   f"{'int8 weights, ' if args.weight_quant else ''}"
-                  f"{'int8 self-KV, ' if args.self_kv_quant else ''}1 chip)",
+                  f"{'int8 self-KV, ' if common.get('self_kv_quant') else ''}"
+                  "1 chip)",
         "value": round(rtf, 2),
         "unit": "audio-sec/sec",
         "vs_baseline": round(rtf / TARGET_RTF, 3),
         "times_s": [round(t, 3) for t in times],
     }
+    if "draft_model" in common:
+        from whisper_at_tpu import decoding as _dec
+
+        if _dec._LAST_SPEC_STATS:
+            result["spec_tokens_per_round"] = round(
+                _dec._LAST_SPEC_STATS["tokens_per_round"], 2)
+    return result
 
 
 def _run_extract_measurement(args, model):
@@ -633,6 +656,10 @@ def build_attempt_plan(args):
         # headline-only; the default sweep's informational words row
         # adds this itself
         mode.append("--words")
+    if args.draft:
+        # headline-only: speculative decoding is an explicit A/B lever,
+        # never silently applied to the preset sweep
+        mode += ["--draft", args.draft]
     return ladder, mode
 
 
@@ -690,18 +717,32 @@ def orchestrate(args):
     # ---- headline (or the single requested config/serving mode) ---------- #
     ladder, mode_flags = build_attempt_plan(args)
 
+    # Reserve wall budget for the post-headline sweep UP FRONT: in the r03
+    # capture the headline's par retries ate ~8.5 min on a degraded chip and
+    # starved 4 of the 8 sweep rows. The headline phase may not eat past
+    # headline_deadline; the reserve guarantees every core sweep row gets a
+    # window (rows also merge with prior captures, so even a failed row
+    # never erases a previously-good number).
+    run_sweep = not (args.config or args.serving or args.streaming
+                     or args.extract or args.no_presets)
+    if run_sweep:
+        reserve = min(args.budget * 0.55, 160.0 * 8)
+        headline_deadline = max(start + 300, deadline - reserve)
+    else:
+        headline_deadline = deadline
+
     result = None
     for attempt, batch in enumerate(ladder):
-        remaining = deadline - time.time()
+        remaining = headline_deadline - time.time()
         if remaining < 120:
-            errors.append("budget exhausted before attempt")
+            errors.append("headline budget exhausted before attempt")
             break
         # bounded health wait: never burn more than ~3 min (or 25% of the
         # remaining budget) before a rung — and a degraded probe does NOT
         # skip the attempt: compile-cached programs often still finish
         # during slumps while fresh probe compiles hang
         health = wait_for_health(
-            min(deadline, time.time() + min(180, remaining * 0.25))
+            min(headline_deadline, time.time() + min(180, remaining * 0.25))
         )
         if health is None or health >= 5.0:
             log(f"attempt {attempt}: probe degraded ({health}) — attempting "
@@ -709,7 +750,7 @@ def orchestrate(args):
         worker_args = list(mode_flags) + base_flags
         if batch is not None:
             worker_args += ["--batch", str(batch)]
-        remaining = deadline - time.time()
+        remaining = headline_deadline - time.time()
         result, err = run_worker(worker_args, timeout=min(900, max(120, remaining)))
         if result is not None:
             if batch is not None and batch != ladder[0]:
@@ -719,6 +760,18 @@ def orchestrate(args):
             break
         errors.append(f"attempt {attempt} (batch {batch}): {err}")
         log(errors[-1])
+
+    if result is None and deadline - time.time() > 300:
+        # a missing headline is worse than missing sweep rows: one rescue
+        # attempt may eat into the sweep reserve (sweep rows keep their
+        # previously-captured values via the merge below regardless)
+        log("headline rescue attempt (eating into sweep reserve)")
+        result, err = run_worker(
+            list(mode_flags) + base_flags + ["--batch", str(ladder[-1])],
+            timeout=min(900, max(120, deadline - time.time() - 120)),
+        )
+        if result is None:
+            errors.append(f"rescue: {err}")
 
     if result is None:
         failure["error"] = " | ".join(errors)[-900:]
@@ -737,13 +790,13 @@ def orchestrate(args):
             and result["value"] < HEADLINE_PAR):
         runs = [result]
         while (result["value"] < HEADLINE_PAR and len(runs) < 3
-               and deadline - time.time() > 360):
+               and headline_deadline - time.time() > 300):
             log(f"headline {result['value']} below par {HEADLINE_PAR} — "
                 "re-measuring (window variance)")
             wait_for_health(time.time() + 120)
             retry, err = run_worker(
                 list(mode_flags) + base_flags + ["--batch", str(ladder[0])],
-                timeout=min(900, max(120, deadline - time.time())),
+                timeout=min(900, max(120, headline_deadline - time.time())),
             )
             if retry is None:
                 errors.append(f"par retry: {err}")
@@ -759,72 +812,107 @@ def orchestrate(args):
     log(f"headline: {result['value']} {result['unit']}")
 
     # ---- best-effort preset sweep into BENCH_CONFIGS.json ----------------- #
-    if (args.config or args.serving or args.streaming or args.extract
-            or args.no_presets):
+    if not run_sweep:
         return 0
-    sweep = {"headline": result, "presets": {}, "serving": None,
-             "streaming": None, "extract": None}
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "BENCH_CONFIGS.json")
+    out_path = os.environ.get("BENCH_CONFIGS_PATH") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_CONFIGS.json")
+
+    # MERGE with the previously-captured sweep: a failed or unreached row
+    # must never erase a previously-good number (the r03 capture overwrote
+    # serving/streaming with nulls and lost small-low's 522.65). Prior rows
+    # are seeded with {"stale": true}; a fresh capture replaces the row and
+    # drops the flag; a fresh FAILURE keeps the prior value and records the
+    # error next to it.
+    now_stamp = time.strftime("%Y-%m-%dT%H:%M:%S")
+    try:
+        with open(out_path) as f:
+            prior = json.load(f)
+    except Exception:
+        prior = {}
+
+    def seeded(row):
+        if isinstance(row, dict) and "value" in row and row.get("value"):
+            return {**row, "stale": True}
+        return None
+
+    sweep = {"headline": {**result, "captured_at": now_stamp}, "presets": {}}
+    prior_presets = prior.get("presets") or {}
+    for name in CONFIGS:
+        s = seeded(prior_presets.get(name))
+        if s is not None:
+            sweep["presets"][name] = s
+    for key in ("serving", "streaming", "extract", "headline-int4-optin",
+                "headline-resident-input", "headline-words"):
+        sweep[key] = seeded(prior.get(key))
 
     def save():
         with open(out_path, "w") as f:
             json.dump(sweep, f, indent=2)
 
+    def record(container, key, r, err):
+        if r is not None:
+            r["captured_at"] = now_stamp
+            container[key] = r
+        elif seeded(container.get(key)) is not None:
+            container[key] = {**container[key], "stale": True,
+                              "last_error": err[-500:],
+                              "last_error_at": now_stamp}
+        else:
+            container[key] = {"error": err[-500:], "error_at": now_stamp}
+
     save()
-    # large-beam first: historically the weakest preset, most worth auditing
-    order = ["large-beam", "tiny-single", "base-10min", "small-low",
-             "medium-translate"]
-    # second pass retries first-pass failures (transient tunnel slumps)
-    for name in order + order:
-        if isinstance(sweep["presets"].get(name), dict) \
-                and "value" in sweep["presets"][name]:
-            continue
-        remaining = deadline - time.time()
-        if remaining < 180:
-            sweep["presets"].setdefault(name, {"skipped": "budget exhausted"})
-            save()  # observed 2026-08-20: skip entries never reached disk
-            continue
-        # 600 s: a preset's first pass pays its model's compile when the
-        # disk cache is cold AND may land in a service slump — a 480 s cap
-        # was measured too tight on 2026-08-19 (base-10min timed out, then
-        # passed on retry; the wasted window cost the informational rows)
-        r, err = run_worker(["--config", name] + base_flags,
-                            timeout=min(600, remaining - 30))
-        sweep["presets"][name] = r if r is not None else {"error": err[-500:]}
-        save()
-        log(f"preset {name}: "
-            f"{r['value'] if r else 'FAILED'}")
 
-    remaining = deadline - time.time()
-    if remaining >= 180:
-        r, err = run_worker(["--serving", "--size", args.size, "--batch",
-                             str(args.batch)] + base_flags,
-                            timeout=min(480, remaining - 30))
-        sweep["serving"] = r if r is not None else {"error": err[-500:]}
-        save()
+    # Core rows in priority order: large-beam first (historically the
+    # weakest preset, most worth auditing), small-low second (compile-
+    # starved in r03). Each row gets a FAIR share of the remaining core
+    # budget — a slow early row can no longer starve the tail — with
+    # unused time flowing to later rows; a retry pass mops up failures.
+    core_rows = [
+        ("large-beam", ["--config", "large-beam"]),
+        ("small-low", ["--config", "small-low"]),
+        ("tiny-single", ["--config", "tiny-single"]),
+        ("base-10min", ["--config", "base-10min"]),
+        ("medium-translate", ["--config", "medium-translate"]),
+        ("serving", ["--serving", "--size", args.size,
+                     "--batch", str(args.batch)]),
+        ("streaming", ["--streaming", "8", "--size", args.size,
+                       "--batch", str(args.batch)]),
+        ("extract", ["--extract", "--size", args.size,
+                     "--batch", str(args.batch)]),
+    ]
+    # info rows are extras: keep ~300 s of tail for them when possible
+    INFO_MARGIN = 300.0
 
-    # live multi-stream serving row: 8 concurrent StreamingService
-    # sessions, saturated feed — the streaming claims become auditable
-    # from the driver's artifact
-    remaining = deadline - time.time()
-    if remaining >= 180:
-        r, err = run_worker(["--streaming", "8", "--size", args.size,
-                             "--batch", str(args.batch)] + base_flags,
-                            timeout=min(600, remaining - 30))
-        sweep["streaming"] = r if r is not None else {"error": err[-500:]}
-        save()
+    def row_done(key):
+        row = sweep["presets"].get(key) if key in CONFIGS else sweep.get(key)
+        return isinstance(row, dict) and "value" in row \
+            and not row.get("stale")
 
-    # feature-extraction row: the training stack's AudioSet-scale
-    # extraction workload (research/feature_extract.py), auditable from
-    # the driver's artifact like the serving/streaming modes
-    remaining = deadline - time.time()
-    if remaining >= 180:
-        r, err = run_worker(["--extract", "--size", args.size, "--batch",
-                             str(args.batch)] + base_flags,
-                            timeout=min(480, remaining - 30))
-        sweep["extract"] = r if r is not None else {"error": err[-500:]}
-        save()
+    for pass_no in range(2):
+        pending = [rw for rw in core_rows if not row_done(rw[0])]
+        for i, (key, flags) in enumerate(pending):
+            remaining = deadline - time.time() - INFO_MARGIN
+            if remaining < 150:
+                remaining = deadline - time.time()  # give up the info margin
+            if remaining < 150:
+                if key in CONFIGS:
+                    sweep["presets"].setdefault(
+                        key, {"skipped": "budget exhausted"})
+                elif sweep.get(key) is None:
+                    sweep[key] = {"skipped": "budget exhausted"}
+                save()
+                continue
+            # fair share of what's left across the rows still pending this
+            # pass; 600 s cap (a cold-cache compile + slump was measured to
+            # need more than 480 on 2026-08-19), 240 s floor
+            share = max(240.0, remaining / (len(pending) - i))
+            r, err = run_worker(flags + base_flags,
+                                timeout=min(600, share, remaining))
+            container = sweep["presets"] if key in CONFIGS else sweep
+            record(container, key, r, err)
+            save()
+            log(f"{'preset ' if key in CONFIGS else ''}{key}: "
+                f"{r['value'] if r else 'FAILED'}")
 
     def info_row(key, extra_flags):
         """One informational headline variant: mode_flags + base_flags
@@ -837,7 +925,7 @@ def orchestrate(args):
             list(mode_flags) + ["--batch", str(args.batch)] + extra_flags
             + base_flags,
             timeout=min(900, remaining - 30))
-        sweep[key] = r if r is not None else {"error": err[-500:]}
+        record(sweep, key, r, err)
         save()
 
     # the opt-in int4 cross-KV headline (Ta-halves nibble packing through

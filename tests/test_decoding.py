@@ -600,3 +600,146 @@ def test_ranker_zero_length_candidate():
 
     gnmt = MaximumLikelihoodRanker(length_penalty=0.5)
     assert gnmt.rank(tokens, sum_logprobs) == [0, 0]  # penalty>0: no crash
+
+
+# --------------------------------------------------------------------------- #
+# speculative decoding (draft-and-verify)
+# --------------------------------------------------------------------------- #
+
+
+@pytest.fixture(scope="module")
+def draft_model():
+    """A draft with DIFFERENT weights (and a different width) than the
+    verifier — random weights agree rarely, stressing the rejection and
+    correction paths."""
+    dims = ModelDimensions(
+        n_mels=80, n_audio_ctx=1500, n_audio_state=128, n_audio_head=2,
+        n_audio_layer=2, n_vocab=51865, n_text_ctx=448, n_text_head=2,
+        n_text_state=128, n_text_layer=2,
+    )
+    return Whisper(dims, seed=21)
+
+
+def _assert_spec_matches_greedy(model, draft, mel, **opts):
+    base = decode(model, mel, DecodingOptions(
+        language="en", temperature=0.0, fp16=False, **opts))
+    spec = decode(model, mel, DecodingOptions(
+        language="en", temperature=0.0, fp16=False, draft_model=draft,
+        **opts))
+    if not isinstance(base, list):
+        base, spec = [base], [spec]
+    for b, s in zip(base, spec):
+        assert list(b.tokens) == list(s.tokens)
+        assert b.text == s.text
+        np.testing.assert_allclose(b.avg_logprob, s.avg_logprob, atol=1e-4)
+        np.testing.assert_allclose(b.no_speech_prob, s.no_speech_prob,
+                                   atol=1e-6)
+
+
+@pytest.mark.quick
+def test_spec_decode_matches_greedy(model, draft_model, mel):
+    """T=0 exactness: committed tokens are the verifier's own filtered
+    argmaxes, so output is token-identical to plain greedy regardless of
+    draft agreement (here: a disagreeing random draft)."""
+    _assert_spec_matches_greedy(model, draft_model, mel, sample_len=32)
+
+
+@pytest.mark.quick
+def test_spec_decode_matches_greedy_without_timestamps(model, draft_model,
+                                                       mel):
+    _assert_spec_matches_greedy(model, draft_model, mel, sample_len=24,
+                                without_timestamps=True)
+
+
+@pytest.mark.quick
+def test_spec_decode_with_prompt_and_prefix(model, draft_model, mel):
+    _assert_spec_matches_greedy(model, draft_model, mel, sample_len=20,
+                                prompt="previous context",
+                                prefix="and the")
+
+
+@pytest.mark.quick
+def test_spec_decode_full_agreement_draft(model, mel):
+    """Draft == verifier: 100% agreement exercises the full-accept (bonus
+    token) path and the draft-cache repair invariant every round."""
+    from whisper_at_tpu import decoding
+
+    _assert_spec_matches_greedy(model, model, mel, sample_len=32)
+    stats = decoding._LAST_SPEC_STATS
+    # every round commits lookahead+1 tokens when all drafts agree
+    assert stats["tokens_per_round"] > 8.0
+
+
+@pytest.mark.quick
+def test_spec_decode_lookahead_1(model, draft_model, mel):
+    _assert_spec_matches_greedy(model, draft_model, mel, sample_len=16)
+    base = decode(model, mel, DecodingOptions(
+        language="en", temperature=0.0, fp16=False, sample_len=16))
+    spec = decode(model, mel, DecodingOptions(
+        language="en", temperature=0.0, fp16=False, sample_len=16,
+        draft_model=draft_model, draft_lookahead=1))
+    for b, s in zip(base, spec):
+        assert list(b.tokens) == list(s.tokens)
+
+
+@pytest.mark.quick
+def test_spec_decode_rows_finish_at_different_times(model, draft_model):
+    """Batch rows whose EOT lands at different steps: finished rows freeze
+    (EOT-latched, logprobs stop) while live rows keep speculating — the
+    per-row position machinery under maximal divergence."""
+    rng = np.random.default_rng(3)
+    mel4 = jnp.asarray(
+        rng.standard_normal((4, 80, 3000)).astype(np.float32) * 0.7
+    )
+    _assert_spec_matches_greedy(model, draft_model, mel4, sample_len=40)
+
+
+@pytest.mark.quick
+def test_spec_decode_option_validation(model, draft_model):
+    with pytest.raises(ValueError, match="temperature"):
+        DecodingTask(model, DecodingOptions(
+            temperature=0.5, draft_model=draft_model))
+    with pytest.raises(ValueError, match="beam"):
+        DecodingTask(model, DecodingOptions(
+            beam_size=5, draft_model=draft_model))
+    with pytest.raises(ValueError, match="self_kv_quant"):
+        DecodingTask(model, DecodingOptions(
+            draft_model=draft_model, self_kv_quant=True))
+
+
+@pytest.mark.quick
+def test_spec_decode_with_quantized_verifier(model, draft_model, mel):
+    """Speculation composes with the verifier's int8 weight/cross-KV
+    quantization (the production decode config)."""
+    base = decode(model, mel, DecodingOptions(
+        language="en", temperature=0.0, fp16=False, sample_len=24,
+        kv_quant=True, weight_quant=True, kv_layout="heads"))
+    spec = decode(model, mel, DecodingOptions(
+        language="en", temperature=0.0, fp16=False, sample_len=24,
+        kv_quant=True, weight_quant=True, kv_layout="heads",
+        draft_model=draft_model))
+    for b, s in zip(base, spec):
+        assert list(b.tokens) == list(s.tokens)
+
+
+@pytest.mark.quick
+def test_spec_decode_through_transcribe_ladder(model, draft_model):
+    """draft_model rides decode_options through transcribe; T>0 fallback
+    rungs drop it (speculation is greedy-exact only)."""
+    import whisper_at_tpu as wat
+
+    rng = np.random.default_rng(5)
+    audio = (0.3 * rng.standard_normal(16000 * 6)).astype(np.float32)
+    kw = dict(language="en", fp16=False, sample_len=16,
+              logprob_threshold=None, compression_ratio_threshold=None,
+              no_speech_threshold=None, verbose=None)
+    base = wat.transcribe(model, audio, temperature=0.0, **kw)
+    spec = wat.transcribe(model, audio, temperature=0.0,
+                          draft_model=draft_model, **kw)
+    assert base["text"] == spec["text"]
+    assert [s["tokens"] for s in base["segments"]] == [
+        s["tokens"] for s in spec["segments"]
+    ]
+    # the full ladder (T>0 rungs present) must not raise
+    spec2 = wat.transcribe(model, audio, draft_model=draft_model, **kw)
+    assert isinstance(spec2["text"], str)

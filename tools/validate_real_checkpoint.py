@@ -16,7 +16,18 @@ passed via --checkpoint/--at-checkpoint):
   stage 4  batched     TPU fast path; text vs sequential + tags sanity
   stage 5  quant       int8 cross-KV + int8 weight token parity on the
                        REAL weights (bench defaults are only trustworthy
-                       once this passes here)
+                       once this passes here), plus the int4 cross-KV
+                       opt-in
+  stage 5b reference   the LITERAL reference package runs the same weights
+                       (exported via checkpoint.export_torch_state_dict
+                       into the reference Whisper) on the same audio;
+                       transcripts diff token-by-token and tag logits
+                       elementwise — the strongest offline-capable oracle
+                       (--reference-package to point elsewhere,
+                       --skip-reference to skip for big models)
+  stage 5c draft       (--draft SIZE) speculative decoding on the real
+                       weights: token parity vs plain greedy + the
+                       measured draft-acceptance rate (tokens/round)
   stage 6  goldens     record transcript/tag-logit goldens to an .npz for
                        regression testing
 
@@ -79,6 +90,18 @@ def main(argv=None):
                     help="run transcription in fp32 (default bf16)")
     ap.add_argument("--skip-activations", action="store_true")
     ap.add_argument("--skip-quant", action="store_true")
+    ap.add_argument("--reference-package",
+                    default="/root/reference/package/whisper-at",
+                    help="path to the literal reference checkout for the "
+                         "differential stage")
+    ap.add_argument("--skip-reference", action="store_true",
+                    help="skip the reference-package differential (the "
+                         "reference runs on torch CPU — slow for large "
+                         "models)")
+    ap.add_argument("--draft", default=None,
+                    help="official size for the speculative-decode stage "
+                         "(e.g. base): token parity + measured acceptance "
+                         "on the real weights")
     ap.add_argument("--atol", type=float, default=2e-2,
                     help="activation tolerance vs the fp32 torch oracle")
     args = ap.parse_args(argv)
@@ -251,6 +274,91 @@ def main(argv=None):
                 os.environ.pop("WHISPER_AT_TPU_KV_PRECOMPUTE", None)
             else:
                 os.environ["WHISPER_AT_TPU_KV_PRECOMPUTE"] = old
+
+        # int4 cross-KV opt-in: the remaining byte-level decode lever ships
+        # off by default pending exactly this real-weight check
+        quant4 = wat.transcribe_batched(
+            model, audio, fp16=not args.fp32, language=args.language,
+            kv_quant=True, weight_quant=True, kv_bits=4,
+        )
+        if not check(quant4["text"] == batched["text"],
+                     "int4 cross-KV tokens identical to bf16 tokens"):
+            norm = EnglishTextNormalizer()
+            close = norm(quant4["text"]) == norm(batched["text"])
+            check(close, "  (normalized texts still match)")
+            failures.append("quant:int4" if not close else "quant:int4-raw")
+
+    # ---- stage 5b: literal-reference differential ------------------------ #
+    ref_pkg = os.path.join(args.reference_package, "whisper_at")
+    if not args.skip_reference and os.path.isdir(ref_pkg):
+        stage("reference-package differential")
+        spec = importlib.util.spec_from_file_location(
+            "refpkg", os.path.join(REPO, "tests", "refpkg.py"))
+        refpkg = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(refpkg)
+        # point the loader at the requested checkout (globals are read at
+        # call time)
+        refpkg.REF_ROOT = args.reference_package
+        refpkg.REF_PKG = ref_pkg
+
+        import torch
+
+        from whisper_at_tpu.checkpoint import export_torch_state_dict
+
+        sd = export_torch_state_dict(model.params,
+                                     at_low_compute=model.at_low_compute)
+        dims_dict = {k: getattr(d, k) for k in (
+            "n_mels", "n_audio_ctx", "n_audio_state", "n_audio_head",
+            "n_audio_layer", "n_vocab", "n_text_ctx", "n_text_state",
+            "n_text_head", "n_text_layer")}
+        ref_model = refpkg.build_reference_model(
+            dims_dict, sd, at_low_compute=model.at_low_compute)
+        kw = dict(language=args.language or result["language"],
+                  fp16=False, temperature=0.0, verbose=None)
+        with torch.no_grad():
+            ref_res = ref_model.transcribe(audio, **kw)
+        mine_fp32 = wat.transcribe(model, audio, **kw)
+        ref_toks = [list(s["tokens"]) for s in ref_res["segments"]]
+        my_toks = [list(s["tokens"]) for s in mine_fp32["segments"]]
+        if not check(ref_toks == my_toks,
+                     "fp32 transcript tokens identical to the literal "
+                     "reference"):
+            failures.append("reference:tokens")
+            print(f"  reference: {ref_res['text']!r}")
+            print(f"  ours     : {mine_fp32['text']!r}")
+        rtag = np.asarray(ref_res["audio_tag"])
+        mtag = np.asarray(mine_fp32["audio_tag"])
+        err = (float(np.abs(rtag - mtag).max())
+               if rtag.shape == mtag.shape else float("inf"))
+        if not check(err < 1e-2, f"tag logits vs reference max|Δ|={err:.2e}"):
+            failures.append("reference:tags")
+    elif not args.skip_reference:
+        print(f"\n(reference package not found at {ref_pkg}; skipping "
+              "differential stage)")
+
+    # ---- stage 5c: speculative decoding on real weights ------------------ #
+    if args.draft is not None:
+        stage(f"speculative decode (draft={args.draft})")
+        from whisper_at_tpu import decoding as _dec
+
+        draft = wat.load_model(args.draft,
+                               download_root=args.download_root,
+                               dtype=jnp.float32 if args.fp32 else None)
+        spec_res = wat.transcribe_batched(
+            model, audio, fp16=not args.fp32, language=args.language,
+            temperature=0.0, draft_model=draft,
+        )
+        plain = wat.transcribe_batched(
+            model, audio, fp16=not args.fp32, language=args.language,
+            temperature=0.0,
+        )
+        if not check(spec_res["text"] == plain["text"],
+                     "speculative tokens identical to plain greedy"):
+            failures.append("spec:tokens")
+        stats = _dec._LAST_SPEC_STATS or {}
+        print(f"  acceptance: {stats.get('tokens_per_round', float('nan')):.2f} "
+              f"tokens/round over {stats.get('rounds')} rounds "
+              "(>=3 on real speech makes speculation the latency default)")
 
     # ---- stage 6: goldens ------------------------------------------------ #
     if args.out:

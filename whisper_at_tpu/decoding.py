@@ -25,6 +25,7 @@ from .audio import CHUNK_LENGTH
 from .models.decoder import (
     cross_kv_payload,
     decoder_forward,
+    decoder_forward_rows,
     init_cache,
     precompute_cross_kv,
     project_logits,
@@ -33,6 +34,10 @@ from .tokenizer import Tokenizer, get_tokenizer
 from .utils import compression_ratio
 
 NEG_INF = float("-inf")
+
+# diagnostics from the most recent speculative decode in this process
+# (tools/profile_spec.py, bench informational row)
+_LAST_SPEC_STATS: Optional[dict] = None
 
 
 @dataclass(frozen=True)
@@ -89,6 +94,14 @@ class DecodingOptions:
     # DMA-bound); the heads layout uses jnp.int4 via XLA.
     kv_bits: int = 8
 
+    # speculative greedy decoding: a small Whisper model (e.g. tiny/base)
+    # drafts `draft_lookahead` tokens per round and this model verifies the
+    # whole run in ONE forward. T=0 EXACT — output tokens are identical to
+    # plain greedy regardless of draft quality (spec_sample_loop); the
+    # draft only sets the speed. Requires temperature 0, no beam/best_of.
+    draft_model: Optional[object] = None
+    draft_lookahead: int = 8
+
 
 @dataclass(frozen=False)
 class DecodingResult:
@@ -111,7 +124,7 @@ class DecodingResult:
 
 def apply_logit_filters(
     logits: jnp.ndarray,  # [B, V] fp32
-    t: jnp.ndarray,  # scalar int32: sampled-token count so far
+    t: jnp.ndarray,  # scalar int32 (or per-row [B]): sampled tokens so far
     prev1: jnp.ndarray,  # [B] token at sampled position t-1 (undefined t<1)
     prev2: jnp.ndarray,  # [B] token at sampled position t-2 (undefined t<2)
     last_ts: jnp.ndarray,  # [B] most recent sampled timestamp token (or -1)
@@ -127,11 +140,15 @@ def apply_logit_filters(
     """All reference logit filters as one pure tensor function.
 
     Order matches whisper_at/decoding.py:545-561: SuppressBlank,
-    SuppressTokens, ApplyTimestampRules.
+    SuppressTokens, ApplyTimestampRules. `t` may be per-row ([B]) — the
+    speculative loop's rows advance at different rates.
     """
     v = logits.shape[-1]
     idx = jnp.arange(v, dtype=jnp.int32)[None, :]  # [1, V]
+    t = jnp.asarray(t)
     at_start = t == 0
+    if at_start.ndim == 1:
+        at_start = at_start[:, None]  # [B, 1], broadcasts against [1, V]
 
     if suppress_blank:
         blank = (idx == blank_token) | (idx == eot)
@@ -332,6 +349,236 @@ def greedy_sample_loop(
         cond, body, init_state
     )
     return buf, sum_lp, no_speech_probs, t
+
+
+# --------------------------------------------------------------------------- #
+# speculative greedy decoding (draft-and-verify)
+# --------------------------------------------------------------------------- #
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "prefill",
+        "total",
+        "max_steps",
+        "lookahead",
+        "n_head",
+        "n_head_draft",
+        "compute_dtype",
+        "eot",
+        "ts_begin",
+        "blank_token",
+        "no_speech_id",
+        "max_initial_ts_index",
+        "suppress_blank",
+        "with_ts_rules",
+    ),
+)
+def spec_sample_loop(
+    dec_params: dict,
+    cross_k,
+    cross_v,
+    draft_params: dict,
+    draft_ck,
+    draft_cv,
+    buf_init: jnp.ndarray,  # [B, total] int32, initial tokens in [pad, prefill)
+    pad: jnp.ndarray,  # scalar int32
+    sot_slot: jnp.ndarray,  # scalar int32
+    suppress_mask: jnp.ndarray,  # [V]
+    *,
+    prefill: int,
+    total: int,
+    max_steps: int,
+    lookahead: int,  # draft proposals per round (L)
+    n_head: int,
+    n_head_draft: int,
+    compute_dtype,
+    eot: int,
+    ts_begin: int,
+    blank_token: int,
+    no_speech_id: Optional[int],
+    max_initial_ts_index: Optional[int],
+    suppress_blank: bool,
+    with_ts_rules: bool,
+):
+    """Greedy decoding via draft-and-verify speculation, fully on device.
+
+    T=0 EXACT: every committed token is the verifier's filtered argmax given
+    the committed prefix, so the output is token-identical to
+    greedy_sample_loop regardless of draft quality (the draft only sets the
+    SPEED — agreement lengthens the accepted run per verifier pass). The
+    reference hot loop being replaced: whisper_at/decoding.py:672-703 (one
+    verifier forward per token -> one verifier forward per accepted run).
+
+    Rows advance at PER-ROW rates (each row accepts a different number of
+    draft tokens per round), so all forwards go through
+    decoder_forward_rows with per-row write positions.
+
+    Round invariants (cp = next slot to commit, per row):
+      - verifier cache valid over [pad, cp-1); the token at cp-1 (the last
+        correction) is pending ingestion and leads the verify forward;
+      - draft cache valid over [pad, cp-2]; the draft's first forward each
+        round re-ingests slots {cp-2, cp-1} (identical recompute when the
+        slot was valid, repair when the previous round ended in a full
+        accept or correction).
+
+    Returns (tokens [B, total], sum_logprobs [B], no_speech_probs [B],
+    n_steps, n_rounds, n_commits).
+    """
+    b = buf_init.shape[0]
+    L = lookahead
+    cache_ctx = total + L + 1
+    d_draft = draft_params["token_embedding"].shape[1]
+    d_ver = dec_params["token_embedding"].shape[1]
+    n_layer_v = cross_kv_payload(cross_k).shape[0]
+    n_layer_d = cross_kv_payload(draft_ck).shape[0]
+
+    v_self_k, v_self_v = init_cache(
+        n_layer_v, b, cache_ctx, d_ver, compute_dtype, n_head
+    )
+    d_self_k, d_self_v = init_cache(
+        n_layer_d, b, cache_ctx, d_draft, compute_dtype, n_head_draft
+    )
+
+    filt_kw = dict(
+        eot=eot, ts_begin=ts_begin, blank_token=blank_token,
+        max_initial_ts_index=max_initial_ts_index,
+        suppress_blank=suppress_blank, with_ts_rules=with_ts_rules,
+    )
+    cols = jnp.arange(total, dtype=jnp.int32)[None, :]  # [1, total]
+
+    # ---- prefills (uniform positions) --------------------------------- #
+    hidden, v_self_k, v_self_v = decoder_forward(
+        dec_params, buf_init[:, :prefill], cross_k, cross_v,
+        v_self_k, v_self_v, jnp.int32(0), pad, n_head, compute_dtype,
+    )
+    if no_speech_id is not None:
+        sot_hidden = jnp.take_along_axis(
+            hidden, sot_slot[None, None, None].astype(jnp.int32) * jnp.ones(
+                (b, 1, 1), jnp.int32
+            ), axis=1,
+        )
+        sot_logits = project_logits(dec_params, sot_hidden)[:, 0]
+        no_speech_probs = jax.nn.softmax(sot_logits, axis=-1)[:, no_speech_id]
+    else:
+        no_speech_probs = jnp.full((b,), jnp.nan, jnp.float32)
+    logits0 = project_logits(dec_params, hidden[:, -1:])[:, 0]
+
+    _, d_self_k, d_self_v = decoder_forward(
+        draft_params, buf_init[:, :prefill], draft_ck, draft_cv,
+        d_self_k, d_self_v, jnp.int32(0), pad, n_head_draft, compute_dtype,
+    )
+
+    if max_steps < 1:  # degenerate sample_len: nothing to sample
+        return (buf_init, jnp.zeros((b,), jnp.float32), no_speech_probs,
+                jnp.int32(0), jnp.int32(0), jnp.int32(0))
+
+    # ---- first token: the verifier's own argmax (no draft involved) ---- #
+    zeros_b = jnp.zeros((b,), jnp.int32)
+    filtered0 = apply_logit_filters(
+        logits0, zeros_b, zeros_b, zeros_b,
+        jnp.full((b,), -1, jnp.int32), suppress_mask, **filt_kw,
+    )
+    c0 = jnp.argmax(filtered0, axis=-1).astype(jnp.int32)
+    lp0 = (jnp.take_along_axis(filtered0, c0[:, None], axis=1)[:, 0]
+           - jax.nn.logsumexp(filtered0, axis=-1))
+    buf = jax.lax.dynamic_update_slice(buf_init, c0[:, None], (0, prefill))
+    cp = jnp.full((b,), prefill + 1, jnp.int32)
+    sum_lp = lp0
+    last_ts = jnp.where(c0 >= ts_begin, c0, -1)
+    finished = c0 == eot
+
+    def cond(state):
+        cp, _, _, _, finished = state[:5]
+        return jnp.any(~finished & (cp - prefill < max_steps))
+
+    def body(state):
+        (cp, buf, sum_lp, last_ts, finished, v_self_k, v_self_v,
+         d_self_k, d_self_v, rounds, commits) = state
+
+        tminus1 = jnp.take_along_axis(buf, (cp - 1)[:, None], axis=1)[:, 0]
+        tminus2 = jnp.take_along_axis(buf, (cp - 2)[:, None], axis=1)[:, 0]
+
+        # ---- draft phase: propose L tokens ---------------------------- #
+        ingest = jnp.stack([tminus2, tminus1], axis=1)  # [B, 2]
+        dh, d_self_k2, d_self_v2 = decoder_forward_rows(
+            draft_params, ingest, draft_ck, draft_cv, d_self_k, d_self_v,
+            cp - 2, pad, n_head_draft, compute_dtype,
+        )
+        dlogits = project_logits(draft_params, dh[:, -1:])[:, 0]
+
+        def draft_step(carry, i):
+            dlogits, dsk, dsv, p1, p2, lts = carry
+            f = apply_logit_filters(
+                dlogits, cp - prefill + i, p1, p2, lts, suppress_mask,
+                **filt_kw,
+            )
+            d = jnp.argmax(f, axis=-1).astype(jnp.int32)
+            h, dsk, dsv = decoder_forward_rows(
+                draft_params, d[:, None], draft_ck, draft_cv, dsk, dsv,
+                cp + i, pad, n_head_draft, compute_dtype,
+            )
+            new_logits = project_logits(draft_params, h)[:, 0]
+            lts = jnp.where(d >= ts_begin, d, lts)
+            return (new_logits, dsk, dsv, d, p1, lts), d
+
+        (_, d_self_k2, d_self_v2, _, _, _), drafts = jax.lax.scan(
+            draft_step,
+            (dlogits, d_self_k2, d_self_v2, tminus1, tminus2, last_ts),
+            jnp.arange(L, dtype=jnp.int32),
+        )
+        drafts = drafts.T  # [B, L]
+
+        # ---- verify phase: one forward over [c, d1..dL] --------------- #
+        vtokens = jnp.concatenate([tminus1[:, None], drafts], axis=1)
+        vh, v_self_k, v_self_v = decoder_forward_rows(
+            dec_params, vtokens, cross_k, cross_v, v_self_k, v_self_v,
+            cp - 1, pad, n_head, compute_dtype,
+        )
+        vlogits = project_logits(dec_params, vh)  # [B, L+1, V]
+
+        # ---- acceptance: commit agreeing drafts + one correction ------ #
+        remaining = max_steps - (cp - prefill)
+        open_i = ~finished & (remaining > 0)
+        p1, p2, lts = tminus1, tminus2, last_ts
+        new_cp, new_sum, new_fin = cp, sum_lp, finished
+        new_buf, ncommit = buf, jnp.zeros((b,), jnp.int32)
+        for i in range(L + 1):
+            f = apply_logit_filters(
+                vlogits[:, i], cp - prefill + i, p1, p2, lts,
+                suppress_mask, **filt_kw,
+            )
+            a = jnp.argmax(f, axis=-1).astype(jnp.int32)
+            lp = (jnp.take_along_axis(f, a[:, None], axis=1)[:, 0]
+                  - jax.nn.logsumexp(f, axis=-1))
+            commit = open_i
+            new_buf = jnp.where(
+                commit[:, None] & (cols == (cp + i)[:, None]),
+                a[:, None], new_buf,
+            )
+            new_sum = new_sum + lp * commit
+            lts = jnp.where(commit & (a >= ts_begin), a, lts)
+            new_fin = new_fin | (commit & (a == eot))
+            ncommit = ncommit + commit
+            p2, p1 = p1, a
+            if i < L:
+                open_i = (open_i & (drafts[:, i] == a) & (a != eot)
+                          & (i + 1 < remaining))
+        new_cp = cp + ncommit
+        new_lts = lts  # only commit-masked updates were applied
+
+        return (new_cp, new_buf, new_sum, new_lts, new_fin,
+                v_self_k, v_self_v, d_self_k2, d_self_v2,
+                rounds + 1, commits + jnp.sum(ncommit.astype(jnp.int32)))
+
+    init_state = (cp, buf, sum_lp, last_ts, finished, v_self_k, v_self_v,
+                  d_self_k, d_self_v, jnp.int32(0), jnp.int32(b))
+    (cp, buf, sum_lp, _, finished, _, _, _, _, rounds, commits) = (
+        jax.lax.while_loop(cond, body, init_state)
+    )
+    n_steps = jnp.max(cp) - prefill
+    return buf, sum_lp, no_speech_probs, n_steps, rounds, commits
 
 
 def _gather_beam_cache(cache, flat_src, live, total):
@@ -714,6 +961,25 @@ class DecodingTask:
             0 <= options.length_penalty <= 1
         ):
             raise ValueError("length_penalty (alpha) should be a value between 0 and 1")
+        if options.draft_model is not None:
+            if options.temperature != 0:
+                raise ValueError("draft_model requires temperature == 0 "
+                                 "(speculative decoding is greedy-exact)")
+            if options.beam_size is not None or options.best_of is not None:
+                raise ValueError(
+                    "draft_model is incompatible with beam_size/best_of"
+                )
+            if options.self_kv_quant:
+                raise ValueError(
+                    "draft_model is incompatible with self_kv_quant (the "
+                    "per-row-position pass keeps a plain self cache)"
+                )
+            if options.draft_model.dims.n_vocab != self.model.dims.n_vocab:
+                raise ValueError(
+                    "draft model must share the verifier's vocabulary"
+                )
+            if options.draft_lookahead < 1:
+                raise ValueError("draft_lookahead must be >= 1")
         return options
 
     def _get_initial_tokens(self) -> Tuple[int, ...]:
@@ -858,6 +1124,13 @@ class DecodingTask:
                 audio_features, at_features, languages, dec_params,
             )
 
+        if options.draft_model is not None:
+            return self._run_spec(
+                mel, buf, pad, prefill, total, max_steps,
+                cross_k, cross_v, compute_dtype,
+                audio_features, at_features, languages, dec_params,
+            )
+
         buf_out, sum_lp, no_speech_probs, n_steps = greedy_sample_loop(
             dec_params,
             cross_k,
@@ -912,6 +1185,102 @@ class DecodingTask:
         texts = [tokenizer.decode(t).strip() for t in tokens]
         sum_logprobs = [lp[i] for i, lp in zip(selected, logprobs_grouped)]
         avg_logprobs = [lp / (len(t) + 1) for t, lp in zip(tokens, sum_logprobs)]
+
+        return [
+            DecodingResult(
+                audio_features=audio_features[i],
+                audio_features_for_at=at_features[i],
+                language=languages[i],
+                tokens=tokens[i],
+                text=texts[i],
+                avg_logprob=avg_logprobs[i],
+                no_speech_prob=float(no_speech_probs[i]),
+                temperature=options.temperature,
+                compression_ratio=compression_ratio(texts[i]),
+            )
+            for i in range(n_audio)
+        ]
+
+    def _run_spec(
+        self, mel, buf, pad, prefill, total, max_steps,
+        cross_k, cross_v, compute_dtype,
+        audio_features, at_features, languages, dec_params,
+    ) -> List[DecodingResult]:
+        """Speculative greedy decode: draft-and-verify (spec_sample_loop).
+
+        Token-identical to the plain greedy path at T=0; the draft model
+        runs its own encoder over the same mel (a few % of the verifier's
+        encoder FLOPs for a tiny/base draft) and proposes lookahead-token
+        runs that the verifier accepts or corrects in ONE forward each."""
+        options = self.options
+        tokenizer = self.tokenizer
+        n_audio = mel.shape[0]
+        draft = options.draft_model
+
+        draft_features, _ = draft.embed_audio(mel, options.fp16)
+        draft_dec = draft.decoder_params_fused
+        draft_ck, draft_cv = precompute_cross_kv(
+            draft_dec, draft_features, draft.dims.n_text_head, compute_dtype,
+            quantize=False, layout="heads",
+        )
+
+        buf_out, sum_lp, no_speech_probs, n_steps, rounds, commits = (
+            spec_sample_loop(
+                dec_params,
+                cross_k,
+                cross_v,
+                draft_dec,
+                draft_ck,
+                draft_cv,
+                buf,
+                jnp.int32(pad),
+                jnp.int32(pad + self.sot_index),
+                self.suppress_mask,
+                prefill=prefill,
+                total=total,
+                max_steps=max_steps,
+                lookahead=options.draft_lookahead,
+                n_head=self.model.dims.n_text_head,
+                n_head_draft=draft.dims.n_text_head,
+                compute_dtype=compute_dtype,
+                eot=tokenizer.eot,
+                ts_begin=tokenizer.timestamp_begin,
+                blank_token=self.blank_token,
+                no_speech_id=tokenizer.no_speech,
+                max_initial_ts_index=self.max_initial_ts_index,
+                suppress_blank=self.suppress_blank,
+                with_ts_rules=self.with_ts_rules,
+            )
+        )
+        (buf_out, sum_lp, no_speech_probs, n_steps, rounds,
+         commits) = _device_get_packed(
+            buf_out, sum_lp, no_speech_probs, n_steps, rounds, commits)
+        n_steps = int(n_steps)
+        # draft efficiency diagnostics (read by tools/profile_spec.py and
+        # the bench's informational row): verifier forwards per committed
+        # token is the speedup lever
+        self.spec_stats = {
+            "rounds": int(rounds),
+            "commits": int(commits),
+            "tokens_per_round": (float(commits) / max(int(rounds), 1)),
+        }
+        global _LAST_SPEC_STATS
+        _LAST_SPEC_STATS = self.spec_stats
+
+        sampled = buf_out[:, prefill: prefill + n_steps]
+        eot_col = np.full((sampled.shape[0], 1), tokenizer.eot, np.int32)
+        sampled = np.concatenate([sampled, eot_col], axis=1)
+
+        tokens: List[List[int]] = []
+        sum_logprobs: List[float] = []
+        for i in range(n_audio):
+            row = sampled[i]
+            end = int(np.argmax(row == tokenizer.eot))
+            tokens.append(row[:end].tolist())
+            sum_logprobs.append(float(sum_lp[i]))
+        texts = [tokenizer.decode(t).strip() for t in tokens]
+        avg_logprobs = [lp / (len(t) + 1)
+                        for t, lp in zip(tokens, sum_logprobs)]
 
         return [
             DecodingResult(

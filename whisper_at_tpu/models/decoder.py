@@ -433,6 +433,117 @@ def _precompute_cross_kv(
     return ck, cv
 
 
+def _cross_attn_apply(
+    block_params: dict,
+    h: jnp.ndarray,  # [B, S, D]
+    ck,  # cross-K: array / int8-dict / fused-layout dict
+    cv,
+    n_head: int,
+    compute_dtype,
+    group: int = 1,
+) -> jnp.ndarray:
+    """One layer's cross-attention over precomputed audio keys/values, with
+    the residual added — shared by the uniform-position decoder_forward and
+    the per-row-position decoder_forward_rows (speculative decoding).
+    Grouped rows (beams) fold into the query sequence axis so the shared
+    K/V stream is read once per audio row."""
+    normed = layer_norm(block_params["cross_attn_ln"], h)
+    q = linear(block_params["cross_attn"]["query"], normed)
+    qh_c = _split_v(q, n_head)
+    if group > 1:
+        b_, h_heads, s_, dh_ = qh_c.shape
+        qh_c = (
+            qh_c.reshape(b_ // group, group, h_heads, s_, dh_)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(b_ // group, h_heads, group * s_, dh_)
+        )
+    if isinstance(ck, dict) and "m" in ck:  # fused int8/int4 layout
+        a_, h_heads, t2_, dh_ = qh_c.shape
+        scale = dh_ ** -0.5  # exact in bf16 for Dh=64 (power of two)
+        kv_bits = 4 if "q4" in ck else 8
+        if h_heads * t2_ <= 256:
+            # decode steps / small prefills: one-matmul pallas kernel
+            # reads the int KV stream directly (no bf16 materialization)
+            q_rows = (qh_c * scale).reshape(a_, h_heads * t2_, dh_)
+            # experiment flag, resolved ONCE at module import (decode
+            # traces are jit-cached by shape, so a mid-process env flip
+            # could never reliably switch kernels — an import-time
+            # constant makes that explicit; A/B in fresh processes):
+            # manual-DMA-ring streaming variant, cross_decode_stream.py
+            if _CROSS_DECODE_IMPL == "stream":
+                from ..ops.cross_decode_stream import (
+                    cross_attention_int8_stream as _cross_fn,
+                )
+            else:
+                _cross_fn = cross_attention_int8
+            out = _cross_fn(
+                q_rows.astype(compute_dtype),
+                cross_kv_payload(ck), ck["s"],
+                cross_kv_payload(cv), cv["s"], ck["m"],
+                n_head=h_heads,
+                interpret=jax.default_backend() != "tpu",
+                bits=kv_bits,
+            )
+            attn_out = out.reshape(a_, h_heads, t2_, dh_).astype(
+                compute_dtype
+            )
+        else:
+            # wide prefills (beam x bucket rows): einsum on the same
+            # layout; the additive bias masks the Ta padding
+            if kv_bits == 4:
+                ckq = _unpack4_halves_xla(ck["q4"], axis=-1)
+                cvq = _unpack4_halves_xla(cv["q4"], axis=1)
+            else:
+                ckq, cvq = ck["q"], cv["q"]
+            ta_pad = ckq.shape[-1]
+            ck4 = ckq.reshape(a_, h_heads, dh_, ta_pad)
+            qk = (
+                jnp.einsum(
+                    "bhtd,bhds->bhts", qh_c, ck4.astype(compute_dtype),
+                    preferred_element_type=jnp.float32,
+                )
+                * ck["s"][:, :, None, :]
+                * jnp.float32(scale)
+                + ck["m"][0]
+            )
+            w = jax.nn.softmax(qk, axis=-1)
+            w = (w * cv["s"][:, :, None, :]).astype(compute_dtype)
+            cv4 = cvq.reshape(a_, ta_pad, h_heads, dh_)
+            attn_out = jnp.einsum(
+                "bhts,bshd->bhtd", w, cv4.astype(compute_dtype)
+            )
+    elif isinstance(ck, dict):  # int8-quantized cross KV (head layout)
+        scale = jnp.float32(qh_c.shape[-1] ** -0.5)
+        qk = (
+            jnp.einsum(
+                "bhtd,bhds->bhts",
+                qh_c,
+                _unpack_q(ck).astype(compute_dtype),
+                preferred_element_type=jnp.float32,
+            )
+            * ck["s"][:, :, 0, :][:, :, None, :]  # per-key-position scale
+            * scale
+        )
+        w = jax.nn.softmax(qk, axis=-1)
+        # fold the V scales (per key position) into the softmax weights
+        w = (w * cv["s"][..., 0][:, :, None, :]).astype(compute_dtype)
+        attn_out = jnp.einsum(
+            "bhts,bhsd->bhtd", w, _unpack_q(cv).astype(compute_dtype)
+        )
+    else:
+        attn_out = attention_decode(
+            qh_c, ck.astype(compute_dtype), cv.astype(compute_dtype)
+        )
+    if group > 1:
+        a_, h_heads, gs_, dh_ = attn_out.shape
+        attn_out = (
+            attn_out.reshape(a_, h_heads, group, gs_ // group, dh_)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(a_ * group, h_heads, gs_ // group, dh_)
+        )
+    return h + linear(block_params["cross_attn"]["out"], _merge_heads(attn_out))
+
+
 def decoder_forward(
     params: dict,
     tokens: jnp.ndarray,  # [B, S] int32
@@ -570,104 +681,8 @@ def decoder_forward(
             )
         h = h + linear(block_params["attn"]["out"], _merge_heads(attn_out))
 
-        # cross-attention over precomputed audio keys/values; grouped rows
-        # (beams) fold into the query sequence axis so the shared K/V stream
-        # is read once per audio row
-        normed = layer_norm(block_params["cross_attn_ln"], h)
-        q = linear(block_params["cross_attn"]["query"], normed)
-        qh_c = _split_v(q, n_head)
-        if group > 1:
-            b_, h_heads, s_, dh_ = qh_c.shape
-            qh_c = (
-                qh_c.reshape(b_ // group, group, h_heads, s_, dh_)
-                .transpose(0, 2, 1, 3, 4)
-                .reshape(b_ // group, h_heads, group * s_, dh_)
-            )
-        if isinstance(ck, dict) and "m" in ck:  # fused int8/int4 layout
-            a_, h_heads, t2_, dh_ = qh_c.shape
-            scale = dh_ ** -0.5  # exact in bf16 for Dh=64 (power of two)
-            kv_bits = 4 if "q4" in ck else 8
-            if h_heads * t2_ <= 256:
-                # decode steps / small prefills: one-matmul pallas kernel
-                # reads the int KV stream directly (no bf16 materialization)
-                q_rows = (qh_c * scale).reshape(a_, h_heads * t2_, dh_)
-                # experiment flag, resolved ONCE at module import (decode
-                # traces are jit-cached by shape, so a mid-process env flip
-                # could never reliably switch kernels — an import-time
-                # constant makes that explicit; A/B in fresh processes):
-                # manual-DMA-ring streaming variant, cross_decode_stream.py
-                if _CROSS_DECODE_IMPL == "stream":
-                    from ..ops.cross_decode_stream import (
-                        cross_attention_int8_stream as _cross_fn,
-                    )
-                else:
-                    _cross_fn = cross_attention_int8
-                out = _cross_fn(
-                    q_rows.astype(compute_dtype),
-                    cross_kv_payload(ck), ck["s"],
-                    cross_kv_payload(cv), cv["s"], ck["m"],
-                    n_head=h_heads,
-                    interpret=jax.default_backend() != "tpu",
-                    bits=kv_bits,
-                )
-                attn_out = out.reshape(a_, h_heads, t2_, dh_).astype(
-                    compute_dtype
-                )
-            else:
-                # wide prefills (beam x bucket rows): einsum on the same
-                # layout; the additive bias masks the Ta padding
-                if kv_bits == 4:
-                    ckq = _unpack4_halves_xla(ck["q4"], axis=-1)
-                    cvq = _unpack4_halves_xla(cv["q4"], axis=1)
-                else:
-                    ckq, cvq = ck["q"], cv["q"]
-                ta_pad = ckq.shape[-1]
-                ck4 = ckq.reshape(a_, h_heads, dh_, ta_pad)
-                qk = (
-                    jnp.einsum(
-                        "bhtd,bhds->bhts", qh_c, ck4.astype(compute_dtype),
-                        preferred_element_type=jnp.float32,
-                    )
-                    * ck["s"][:, :, None, :]
-                    * jnp.float32(scale)
-                    + ck["m"][0]
-                )
-                w = jax.nn.softmax(qk, axis=-1)
-                w = (w * cv["s"][:, :, None, :]).astype(compute_dtype)
-                cv4 = cvq.reshape(a_, ta_pad, h_heads, dh_)
-                attn_out = jnp.einsum(
-                    "bhts,bshd->bhtd", w, cv4.astype(compute_dtype)
-                )
-        elif isinstance(ck, dict):  # int8-quantized cross KV (head layout)
-            scale = jnp.float32(qh_c.shape[-1] ** -0.5)
-            qk = (
-                jnp.einsum(
-                    "bhtd,bhds->bhts",
-                    qh_c,
-                    _unpack_q(ck).astype(compute_dtype),
-                    preferred_element_type=jnp.float32,
-                )
-                * ck["s"][:, :, 0, :][:, :, None, :]  # per-key-position scale
-                * scale
-            )
-            w = jax.nn.softmax(qk, axis=-1)
-            # fold the V scales (per key position) into the softmax weights
-            w = (w * cv["s"][..., 0][:, :, None, :]).astype(compute_dtype)
-            attn_out = jnp.einsum(
-                "bhts,bhsd->bhtd", w, _unpack_q(cv).astype(compute_dtype)
-            )
-        else:
-            attn_out = attention_decode(
-                qh_c, ck.astype(compute_dtype), cv.astype(compute_dtype)
-            )
-        if group > 1:
-            a_, h_heads, gs_, dh_ = attn_out.shape
-            attn_out = (
-                attn_out.reshape(a_, h_heads, group, gs_ // group, dh_)
-                .transpose(0, 2, 1, 3, 4)
-                .reshape(a_ * group, h_heads, gs_ // group, dh_)
-            )
-        h = h + linear(block_params["cross_attn"]["out"], _merge_heads(attn_out))
+        h = _cross_attn_apply(block_params, h, ck, cv, n_head, compute_dtype,
+                              group)
 
         normed = layer_norm(block_params["mlp_ln"], h)
         if use_fused_mlp:
@@ -687,6 +702,111 @@ def decoder_forward(
     # buffers across unrolled iterations; keep unroll=1
     (x, self_k, self_v), _ = jax.lax.scan(
         body, (x, self_k, self_v), (layer_ids, params["blocks"], cross_k, cross_v)
+    )
+
+    x = layer_norm(params["ln"], x)
+    return x, self_k, self_v
+
+
+def decoder_forward_rows(
+    params: dict,
+    tokens: jnp.ndarray,  # [B, S] int32
+    cross_k,  # [L, B, H, Dh, Ta] (or quantized dict layouts)
+    cross_v,
+    self_k: jnp.ndarray,  # [L, B, H, ctx, Dh] plain cache (no int8 variant)
+    self_v: jnp.ndarray,
+    write_pos: jnp.ndarray,  # [B] int32: PER-ROW cache slot of tokens[:, 0]
+    pad: jnp.ndarray,  # scalar int32: slots < pad are masked out
+    n_head: int,
+    compute_dtype=jnp.float32,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """`decoder_forward` with PER-ROW write positions — the speculative-
+    decode verify/draft pass, where batch rows advance at different rates
+    (each row's accepted-token count differs per round).
+
+    Differences from the uniform pass: positional embeddings gather at
+    per-row offsets, the causal slot mask is per-row [B, 1, S, ctx], and
+    cache writes scatter at per-row context offsets (a vmapped
+    dynamic-update-slice). The int8 self-cache layout is not supported
+    here (speculative decoding rejects self_kv_quant in _verify_options).
+    """
+    assert not isinstance(self_k, dict), (
+        "decoder_forward_rows does not support the int8 self-KV cache"
+    )
+    n_ctx = self_k.shape[-2]
+    s = tokens.shape[1]
+    n_pos = params["positional_embedding"].shape[0]
+
+    pos = write_pos[:, None] + jnp.arange(s, dtype=jnp.int32)[None, :] - pad
+    # rows can overshoot their committed region by up to the lookahead;
+    # clamped positions only ever produce outputs/cache entries that are
+    # rewritten before being attended (see spec_sample_loop invariants)
+    pos = jnp.clip(pos, 0, n_pos - 1)
+    x = (
+        jnp.take(params["token_embedding"], tokens, axis=0)
+        + jnp.take(params["positional_embedding"], pos, axis=0)
+    ).astype(compute_dtype)
+
+    # additive mask [B, 1, S, ctx]: key slot j visible to row b's query i
+    # iff pad <= j <= write_pos[b] + i; `slots == qpos` keeps fully-masked
+    # rows NaN-free (same guard as decoder_forward)
+    slots = jnp.arange(n_ctx, dtype=jnp.int32)[None, None, :]
+    qpos = (write_pos[:, None]
+            + jnp.arange(s, dtype=jnp.int32)[None, :])[:, :, None]
+    allowed = ((slots >= pad) & (slots <= qpos)) | (slots == qpos)
+    mask = jnp.where(allowed, 0.0, NEG_INF).astype(jnp.float32)[:, None]
+
+    row_write = jax.vmap(
+        lambda cache_b, new_b, w: jax.lax.dynamic_update_slice(
+            cache_b, new_b, (0, w, 0)
+        )
+    )
+
+    def body(carry, xs):
+        h, sk_all, sv_all = carry
+        layer_idx, block_params, ck, cv = xs
+
+        normed = layer_norm(block_params["attn_ln"], h)
+        if "qkv" in block_params["attn"]:
+            qkv = linear(block_params["attn"]["qkv"], normed)
+            q, k_new, v_new = jnp.split(qkv, 3, axis=-1)
+        else:
+            q = linear(block_params["attn"]["query"], normed)
+            k_new = linear(block_params["attn"]["key"], normed)
+            v_new = linear(block_params["attn"]["value"], normed)
+        qh = _split_v(q, n_head)
+        kh_new = _split_v(k_new, n_head).astype(sk_all.dtype)
+        vh_new = _split_v(v_new, n_head).astype(sv_all.dtype)
+
+        k_layer = jax.lax.dynamic_index_in_dim(sk_all, layer_idx, 0,
+                                               keepdims=False)
+        v_layer = jax.lax.dynamic_index_in_dim(sv_all, layer_idx, 0,
+                                               keepdims=False)
+        k_layer = row_write(k_layer, kh_new, write_pos)
+        v_layer = row_write(v_layer, vh_new, write_pos)
+        sk_all = jax.lax.dynamic_update_slice(
+            sk_all, k_layer[None], (layer_idx, 0, 0, 0, 0)
+        )
+        sv_all = jax.lax.dynamic_update_slice(
+            sv_all, v_layer[None], (layer_idx, 0, 0, 0, 0)
+        )
+        attn_out = attention_decode(
+            qh, k_layer.astype(compute_dtype), v_layer.astype(compute_dtype),
+            mask=mask, k_transposed=False,
+        )
+        h = h + linear(block_params["attn"]["out"], _merge_heads(attn_out))
+
+        h = _cross_attn_apply(block_params, h, ck, cv, n_head, compute_dtype)
+
+        normed = layer_norm(block_params["mlp_ln"], h)
+        h = h + mlp(block_params["mlp"], normed)
+        return (h, sk_all, sv_all), None
+
+    n_layer = cross_kv_payload(cross_k).shape[0]
+    layer_ids = jnp.arange(n_layer, dtype=jnp.int32)
+    (x, self_k, self_v), _ = jax.lax.scan(
+        body, (x, self_k, self_v),
+        (layer_ids, params["blocks"], cross_k, cross_v),
     )
 
     x = layer_norm(params["ln"], x)

@@ -82,6 +82,9 @@ def temperature_schedule(temperature, decode_options: dict):
         if t > 0:
             kwargs.pop("beam_size", None)
             kwargs.pop("patience", None)
+            # speculative decoding is greedy-exact only; sampling rungs
+            # fall back to the plain loop
+            kwargs.pop("draft_model", None)
         else:
             kwargs.pop("best_of", None)
         yield t, kwargs
