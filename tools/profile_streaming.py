@@ -49,7 +49,15 @@ def main():
                         help="sleep between blocks to simulate a live mic "
                              "(default: feed as fast as possible and "
                              "measure only the finalize latency)")
+    parser.add_argument("--host-prof", action="store_true",
+                        help="accumulate per-stage host-work timers in the "
+                             "session/scheduler hot path and print the "
+                             "table (the saturated-throughput separator is "
+                             "per-session HOST work — this names it)")
     args = parser.parse_args()
+
+    if args.host_prof:
+        os.environ["WHISPER_AT_TPU_STREAM_PROF"] = "1"
 
     import jax
 
@@ -167,6 +175,20 @@ def main():
         print(f"real-time headroom: {rt_budget / lat[-1]:.1f}x "
               f"(worst window vs its 30 s budget); aggregate "
               f"{total_audio / wall:.1f} audio-s/s over the drive")
+
+    if args.host_prof:
+        from whisper_at_tpu.streaming import prof_snapshot
+
+        snap = prof_snapshot()
+        n_windows = max((v["count"] for k, v in snap.items()
+                         if k == "decode-wait"), default=1)
+        print(f"\nhost-work profile over the whole drive "
+              f"({n_windows} windows; wall vs CPU separates blocked-wait "
+              f"from GIL-holding work):")
+        for k, v in sorted(snap.items(), key=lambda kv: -kv[1]["wall_ms"]):
+            print(f"  {k:<18} wall {v['wall_ms']:>9.1f} ms  "
+                  f"cpu {v['cpu_ms']:>8.1f} ms  x{v['count']:<5} "
+                  f"({v['wall_us_each']:.0f} us each)")
 
 
 if __name__ == "__main__":

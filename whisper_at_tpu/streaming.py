@@ -57,6 +57,48 @@ _MARGIN_FRAMES = 2
 _MARGIN = _MARGIN_FRAMES * HOP_LENGTH  # 320 samples
 assert _MARGIN >= N_FFT // 2
 
+# ---- per-session host-work profiling (tools/profile_streaming.py) -------- #
+# WHISPER_AT_TPU_STREAM_PROF=1 accumulates wall + CPU time per hot-path
+# stage; the saturated multi-stream separator vs the offline packed path is
+# per-session HOST work (STATUS.md), and this names its components. Off by
+# default: each site costs one context-manager call per window when enabled,
+# zero when not (a plain nullcontext).
+import contextlib
+import os as _os
+import time as _time
+
+_PROF_ENABLED = _os.environ.get("WHISPER_AT_TPU_STREAM_PROF") == "1"
+_PROF: dict = {}  # name -> [wall_s, cpu_s, count]
+
+
+@contextlib.contextmanager
+def _prof_cm(name):
+    w0 = _time.perf_counter()
+    c0 = _time.thread_time()
+    try:
+        yield
+    finally:
+        rec = _PROF.setdefault(name, [0.0, 0.0, 0])
+        rec[0] += _time.perf_counter() - w0
+        rec[1] += _time.thread_time() - c0
+        rec[2] += 1
+
+
+def _prof(name):
+    return _prof_cm(name) if _PROF_ENABLED else contextlib.nullcontext()
+
+
+def prof_snapshot(reset: bool = True) -> dict:
+    """{stage: {wall_ms_total, cpu_ms_total, count, wall_us_each}}."""
+    out = {
+        k: dict(wall_ms=round(v[0] * 1e3, 1), cpu_ms=round(v[1] * 1e3, 1),
+                count=v[2], wall_us_each=round(v[0] / max(v[2], 1) * 1e6, 1))
+        for k, v in _PROF.items()
+    }
+    if reset:
+        _PROF.clear()
+    return out
+
 
 class _GrowingTagGrid(TagGrid):
     """TagGrid over a recording whose length is not known yet."""
@@ -185,23 +227,25 @@ class StreamingTranscriber:
         """Append a waveform piece; process every complete 30 s window."""
         if self._finished:
             raise RuntimeError("session already finished")
-        chunk = np.asarray(waveform)
-        if chunk.ndim != 1:
-            raise ValueError("expected mono 16 kHz waveform, got "
-                             f"shape {chunk.shape}")
-        if chunk.dtype == np.int16:
-            chunk = chunk.astype(np.float32) / 32768.0
-        elif not np.issubdtype(chunk.dtype, np.floating):
-            # int32/uint8/... PCM have different full-scale conventions; a
-            # bare cast would silently feed +-2^31-range floats to the mel
-            raise ValueError(
-                f"unsupported waveform dtype {chunk.dtype}; feed float "
-                "waveforms in [-1, 1] or int16 PCM"
-            )
-        else:
-            chunk = chunk.astype(np.float32)
-        self._pending.append(chunk)
-        self._total_samples += len(chunk)
+        with _prof("feed-normalize"):
+            chunk = np.asarray(waveform)
+            if chunk.ndim != 1:
+                raise ValueError("expected mono 16 kHz waveform, got "
+                                 f"shape {chunk.shape}")
+            if chunk.dtype == np.int16:
+                chunk = chunk.astype(np.float32) / 32768.0
+            elif not np.issubdtype(chunk.dtype, np.floating):
+                # int32/uint8/... PCM have different full-scale conventions;
+                # a bare cast would silently feed +-2^31-range floats to the
+                # mel
+                raise ValueError(
+                    f"unsupported waveform dtype {chunk.dtype}; feed float "
+                    "waveforms in [-1, 1] or int16 PCM"
+                )
+            else:
+                chunk = chunk.astype(np.float32)
+            self._pending.append(chunk)
+            self._total_samples += len(chunk)
 
         emitted: List[dict] = []
         # a non-final window needs samples through the end of the last STFT
@@ -295,7 +339,8 @@ class StreamingTranscriber:
         return mel[:, lead_frames:lead_frames + N_FRAMES]
 
     def _process_window(self, final: bool) -> List[dict]:
-        piece, lead_frames = self._window_piece()
+        with _prof("window-join"):
+            piece, lead_frames = self._window_piece()
         # the first window of a session needs its mel locally (language
         # detection below runs before the decode); steady-state windows
         # under a service ship the raw prepped piece instead so the
@@ -339,22 +384,25 @@ class StreamingTranscriber:
             if window is None:
                 # host prep + async H2D dispatch from THIS (client) thread:
                 # the scheduler thread only stacks device arrays
-                sig_np, n_frames = _stft_host_prep(piece, 0, exact=True)
-                prepped = (jax.device_put(sig_np), n_frames, lead_frames)
-            result, tags = self._decode_executor(
-                window, dict(self.decode_options), self.temperature,
-                self.gate, piece=prepped, at_offset=offset,
-                at_time_res=self.at_time_res,
-            )
+                with _prof("prep-h2d"):
+                    sig_np, n_frames = _stft_host_prep(piece, 0, exact=True)
+                    prepped = (jax.device_put(sig_np), n_frames, lead_frames)
+            with _prof("decode-wait"):
+                result, tags = self._decode_executor(
+                    window, dict(self.decode_options), self.temperature,
+                    self.gate, piece=prepped, at_offset=offset,
+                    at_time_res=self.at_time_res,
+                )
         else:
-            result = _run_ladder(
-                lambda opts: self.model.decode(window, opts),
-                self.temperature, self.gate, self.decode_options,
-            )
-            tags = self.model.at_forward(
-                result.audio_features_for_at[:, offset:, :],
-                time_resolution=self.at_time_res,
-            )
+            with _prof("decode-wait"):
+                result = _run_ladder(
+                    lambda opts: self.model.decode(window, opts),
+                    self.temperature, self.gate, self.decode_options,
+                )
+                tags = self.model.at_forward(
+                    result.audio_features_for_at[:, offset:, :],
+                    time_resolution=self.at_time_res,
+                )
         self._tags_in_flight.append((self._seek, tags))
 
         if self.gate.is_silence(result):
@@ -362,29 +410,30 @@ class StreamingTranscriber:
             return []
 
         window_start = self._seek
-        parse = parse_window(
-            np.asarray(result.tokens, np.int64),
-            timestamp_begin=self._tokenizer.timestamp_begin,
-            time_offset=time_offset,
-            segment_size=segment_size,
-            segment_duration=segment_size * HOP_LENGTH / SAMPLE_RATE,
-            input_stride=self._input_stride,
-            time_precision=self._time_precision,
-        )
-        # progress guard: a degenerate decode (closing timestamp pair at
-        # <|0.00|>) parses to advance_frames == 0; offline that re-decodes
-        # the same window once per call, but a live session would spin
-        # forever — advance past the window instead
-        self._seek += (parse.advance_frames if parse.advance_frames > 0
-                       else segment_size)
-        new_segments = [
-            segment_record(
-                seek=window_start, start=start, end=end, tokens=toks,
-                result=result, eot=self._tokenizer.eot,
-                tokenizer=self._tokenizer,
+        with _prof("parse-segments"):
+            parse = parse_window(
+                np.asarray(result.tokens, np.int64),
+                timestamp_begin=self._tokenizer.timestamp_begin,
+                time_offset=time_offset,
+                segment_size=segment_size,
+                segment_duration=segment_size * HOP_LENGTH / SAMPLE_RATE,
+                input_stride=self._input_stride,
+                time_precision=self._time_precision,
             )
-            for start, end, toks in parse.pieces
-        ]
+            # progress guard: a degenerate decode (closing timestamp pair
+            # at <|0.00|>) parses to advance_frames == 0; offline that
+            # re-decodes the same window once per call, but a live session
+            # would spin forever — advance past the window instead
+            self._seek += (parse.advance_frames if parse.advance_frames > 0
+                           else segment_size)
+            new_segments = [
+                segment_record(
+                    seek=window_start, start=start, end=end, tokens=toks,
+                    result=result, eot=self._tokenizer.eot,
+                    tokenizer=self._tokenizer,
+                )
+                for start, end, toks in parse.pieces
+            ]
         if self.word_timestamps and new_segments:
             from .transcribe import _attach_word_timings
 
@@ -408,6 +457,10 @@ class StreamingTranscriber:
 
     def _drop_consumed(self) -> None:
         """Release buffer samples no window can read again."""
+        with _prof("tags-drain"):
+            self._drop_consumed_inner()
+
+    def _drop_consumed_inner(self) -> None:
         keep_from = max(self._buf_start,
                         self._seek * HOP_LENGTH - _MARGIN)
         if keep_from > self._buf_start:
@@ -808,12 +861,15 @@ class StreamingService:
                 self._run_detect_batch(batch)
                 continue
             try:
-                windows, n_mel_batched = self._materialize_windows(batch)
-                results = _decode_windows_batched(
-                    self.model, windows, head.temperature, head.gate,
-                    head.options, self.max_batch, self.mesh,
-                )
-                tags, n_tag_groups = self._batched_tags(batch, results)
+                with _prof("sched-materialize"):
+                    windows, n_mel_batched = self._materialize_windows(batch)
+                with _prof("sched-decode"):
+                    results = _decode_windows_batched(
+                        self.model, windows, head.temperature, head.gate,
+                        head.options, self.max_batch, self.mesh,
+                    )
+                with _prof("sched-tags"):
+                    tags, n_tag_groups = self._batched_tags(batch, results)
             except Exception as exc:  # noqa: BLE001 — per-request delivery
                 for r in batch:
                     _settle(r.future, exception=exc)
