@@ -20,6 +20,8 @@ from whisper_at_tpu.audio import (
     pad_or_trim,
 )
 
+pytestmark = pytest.mark.quick
+
 
 def golden_log_mel(audio: np.ndarray, padding: int = 0) -> np.ndarray:
     x = torch.from_numpy(audio.astype(np.float32))

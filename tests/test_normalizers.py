@@ -10,6 +10,8 @@ from whisper_at_tpu.normalizers import (
     EnglishTextNormalizer,
 )
 
+pytestmark = pytest.mark.quick
+
 
 @pytest.mark.parametrize("std", [EnglishNumberNormalizer(), EnglishTextNormalizer()])
 def test_number_normalizer(std):

@@ -8,6 +8,8 @@ import pytest
 
 from whisper_at_tpu.tokenizer import LANGUAGES, get_encoding, get_tokenizer
 
+pytestmark = pytest.mark.quick
+
 
 @pytest.fixture(scope="module")
 def multilingual():

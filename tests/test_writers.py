@@ -5,6 +5,9 @@ preservation, word highlighting."""
 import numpy as np
 
 from whisper_at_tpu.utils.writers import WriteSRT, WriteVTT, get_writer
+import pytest
+
+pytestmark = pytest.mark.quick
 
 
 def _result(words_per_segment):

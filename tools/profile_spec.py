@@ -69,6 +69,16 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    try:  # persistent compile cache (bench.py's): large-v1 first compiles
+        # are multi-minute on the tunneled compile service
+        cache = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache")
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
 
     import whisper_at_tpu as wat
     from whisper_at_tpu import decoding
