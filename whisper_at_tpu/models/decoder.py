@@ -756,11 +756,21 @@ def decoder_forward_rows(
     allowed = ((slots >= pad) & (slots <= qpos)) | (slots == qpos)
     mask = jnp.where(allowed, 0.0, NEG_INF).astype(jnp.float32)[:, None]
 
-    row_write = jax.vmap(
-        lambda cache_b, new_b, w: jax.lax.dynamic_update_slice(
-            cache_b, new_b, (0, w, 0)
-        )
-    )
+    # Per-row cache write as GATHER + select, not scatter: a vmapped
+    # dynamic_update_slice with traced per-row starts lowers to an XLA
+    # scatter, which the TPU executes serially — measured ~360 us per
+    # layer-tensor on v5e (the whole rows-forward ran 8x a uniform decode
+    # step). Rewriting the full layer with take_along_axis + where moves
+    # ctx/S more bytes but stays a dense vector op; at spec-decode batch
+    # sizes that is ~1 ms per forward instead of ~23.
+    ctx_ids = jnp.arange(n_ctx, dtype=jnp.int32)[None, :]  # [1, ctx]
+
+    def row_write(cache_l, new_l, wp):
+        rel = ctx_ids - wp[:, None]  # [B, ctx]
+        in_win = (rel >= 0) & (rel < s)
+        idx = jnp.clip(rel, 0, s - 1)
+        gathered = jnp.take_along_axis(new_l, idx[:, None, :, None], axis=2)
+        return jnp.where(in_win[:, None, :, None], gathered, cache_l)
 
     def body(carry, xs):
         h, sk_all, sv_all = carry
