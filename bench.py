@@ -48,10 +48,12 @@ CONFIGS = {
     "base-10min": dict(size="base", batch=8, tokens=96),
     "small-low": dict(size="small", batch=8, tokens=96, at_low=True),
     "medium-translate": dict(size="medium", batch=8, tokens=96, task="translate"),
-    # batch swept on-chip 2026-08-18: 80 @ 4, 81 @ 6, 90-96 @ 8, 86 @ 12,
-    # 98-100 @ 16, 84 @ 20, 87 @ 24 audio-s/s (beams ride the batch dim;
-    # 16x5=80 decode rows sit closest under the 128-row MXU tile)
-    "large-beam": dict(size="large-v1", batch=16, tokens=96, beam=5),
+    # batch re-swept on-chip 2026-08-20 after the one-hot-matmul cache
+    # permute (tools/profile_beam_ablate.py): 153.0 @ 16, 199.8 @ 24,
+    # 169.1 @ 32 audio-s/s — beams ride the batch dim and 24x5=120 decode
+    # rows sit closest under the 128-row MXU tile (the pre-fix sweep
+    # peaked at 16: 98-100 @ 16, 87 @ 24)
+    "large-beam": dict(size="large-v1", batch=24, tokens=96, beam=5),
 }
 
 RESULT_MARKER = "BENCHRESULT "

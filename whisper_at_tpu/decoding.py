@@ -581,25 +581,77 @@ def spec_sample_loop(
     return buf, sum_lp, no_speech_probs, n_steps, rounds, commits
 
 
-def _gather_beam_cache(cache, flat_src, live, total):
-    """Reorder the self-KV cache along the beam axis, moving only a static
-    bucket covering the live slot prefix.
+# ablation seams (tools/profile_beam_ablate.py): un-bucketed "matmul" is
+# shipped; "take" is the jnp.take formulation it replaced, and bucketing
+# (permute only the live-slot-prefix bucket) helped take but HURTS the
+# matmul formulation (the lax.cond + dynamic_update_slice write-back costs
+# more than the saved bytes: 23.96 vs 20.97 ms/step on v5e, large-v1)
+_GATHER_IMPL = "matmul"
+_GATHER_BUCKET = False
 
-    The full-cache `jnp.take` is the beam step's second-largest byte stream
-    (read+write of every slot, every layer, every step), but slots >= live
-    are identically zero in EVERY row — prefill writes [0, prefill) and each
-    step writes exactly one slot — so permuting them is the identity.
-    Gathering the smallest static bucket >= live (total/4, total/2, total)
-    is exact and moves ~half the bytes on average. Token parity with the
-    full gather is pinned by the beam-vs-oracle tests.
+
+def _permute_rows_matmul(x, onehot):
+    """Exact row permutation `x[flat_src]` along axis 1 as a one-hot matmul.
+
+    XLA lowers a `jnp.take` over axis 1 of the [L, B, ...] KV cache to a
+    TPU gather that measured ~36 GB/s effective on v5e — 27.35 of the beam
+    step's 38.33 ms/step (71%, tools/profile_beam_ablate.py, large-v1,
+    80 rows). The same permutation as `P @ X` rides the MXU's native
+    s8 x s8 -> s32 path at streaming rates. Exactness for every dtype:
+    the tensor is bitcast to int8 lanes (bf16/fp32 payloads are just
+    bytes), each output element is one-hot-selected as exactly one byte's
+    value in int32 (range [-128, 127], so the narrowing cast back is
+    lossless), and the lanes are bitcast back — a pure byte shuffle, no
+    arithmetic on the payload values, no bf16 conversion materialization.
     """
+    orig = x.dtype
+    v = x if orig == jnp.int8 else jax.lax.bitcast_convert_type(x, jnp.int8)
+    # contract over axis 1 WITHOUT flattening the trailing dims: a reshape
+    # to [L, B, N] pins a row-major layout, and when the surrounding loop
+    # carries the cache in a different (attention-preferred) layout, XLA
+    # brackets the dot with two full relayout copies — measured as most of
+    # the remaining permute cost (HLO: copy{3,4,..} around the dot)
+    rest = "".join(chr(ord("c") + i) for i in range(v.ndim - 2))
+    y = jnp.einsum(
+        f"ab,lb{rest}->la{rest}", onehot, v,
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.int8)
+    return y if orig == jnp.int8 else jax.lax.bitcast_convert_type(y, orig)
+
+
+def _gather_beam_cache(cache, flat_src, live, total):
+    """Reorder the self-KV cache along the beam axis.
+
+    The cache reorder was the beam step's dominant cost — 27.35 of
+    38.33 ms/step (71%) as an XLA gather (tools/profile_beam_ablate.py,
+    v5e, large-v1, 80 rows). Shipped formulation: a full-cache one-hot
+    MXU matmul (_permute_rows_matmul), 20.97 ms/step total. The previous
+    live-prefix bucketing (slots >= live are identically zero in every
+    row, so permuting them is the identity) helped the gather formulation
+    but hurts the matmul one — its lax.cond + dynamic_update_slice
+    write-back costs more than the saved bytes — so it stays behind the
+    _GATHER_BUCKET ablation seam only. Token parity is pinned by the
+    beam-vs-oracle tests and the reference-differential beam tests.
+    """
+    if _GATHER_IMPL == "matmul":
+        b = int(flat_src.shape[0])
+        onehot = (
+            flat_src[:, None] == jnp.arange(b, dtype=flat_src.dtype)[None, :]
+        ).astype(jnp.int8)
+        permute = lambda x: _permute_rows_matmul(x, onehot)  # noqa: E731
+    else:
+        permute = lambda x: jnp.take(x, flat_src, axis=1)  # noqa: E731
+
+    if not _GATHER_BUCKET:
+        return jax.tree.map(permute, cache)
+
     def take_prefix(w):
         def f(x):
             ctx_ax = x.ndim - 2  # values [L,B,H,ctx,Dh]; scales [L,B,ctx,H]
             if w >= x.shape[ctx_ax]:
-                return jnp.take(x, flat_src, axis=1)
+                return permute(x)
             head = jax.lax.slice_in_dim(x, 0, w, axis=ctx_ax)
-            head = jnp.take(head, flat_src, axis=1)
+            head = permute(head)
             return jax.lax.dynamic_update_slice_in_dim(
                 x, head, 0, axis=ctx_ax
             )
@@ -607,7 +659,7 @@ def _gather_beam_cache(cache, flat_src, live, total):
 
     w1, w2 = total // 4, total // 2
     if w1 < 8:  # tiny caches: bucketing is all overhead
-        return jax.tree.map(lambda x: jnp.take(x, flat_src, axis=1), cache)
+        return jax.tree.map(permute, cache)
     return jax.lax.cond(
         live <= w1,
         take_prefix(w1),
@@ -620,6 +672,17 @@ def _gather_beam_cache(cache, flat_src, live, total):
 # --------------------------------------------------------------------------- #
 # jitted beam search
 # --------------------------------------------------------------------------- #
+
+
+def _beam_topk(filtered: jnp.ndarray, k: int):
+    """Exact top-k over [B, V] logits.
+
+    Measured on v5e (tools/profile_beam_ablate.py, large-v1, 80 rows x
+    51865 vocab): an iterated-argmax formulation is within noise of
+    `lax.top_k` (+0.06 ms/step), so the library call stays. Kept as a
+    seam so the ablation tool can patch variants in.
+    """
+    return jax.lax.top_k(filtered, k)
 
 
 @partial(
@@ -740,7 +803,7 @@ def beam_sample_loop(
         # top-k on the raw filtered logits (softmax is rank-preserving), then
         # normalize only the K+1 winners — skips materializing the [A*K, V]
         # log_softmax every step
-        top_raw, top_tok = jax.lax.top_k(filtered, k_beam + 1)  # [A*K, K+1]
+        top_raw, top_tok = _beam_topk(filtered, k_beam + 1)  # [A*K, K+1]
         top_lp = top_raw - jax.nn.logsumexp(filtered, axis=-1)[:, None]
         cand = (sum_lp[:, None] + top_lp).reshape(a_audio, n_cand)
         cand_tok = top_tok.reshape(a_audio, n_cand)
@@ -769,6 +832,9 @@ def beam_sample_loop(
         flat_src = (audio_base + new_src).reshape(-1)  # [A*K]
 
         # --- finished buffer: EOT candidates appended until the cap ---
+        # runs unconditionally every step: cond-gating it on any(is_eot)
+        # measured +-0.06 ms/step on v5e (tools/profile_beam_ablate.py) —
+        # the [A, N, total] row gather/scatter is small next to the KV work
         frank = jnp.cumsum(is_eot, axis=1)
         fpos = fin_count[:, None] + frank - 1
         fpos = jnp.where(is_eot & (fpos < c_cap), fpos, c_cap)  # C -> dropped
