@@ -78,10 +78,21 @@ def main():
 
     import whisper_at_tpu as wat
 
-    model = wat.build_model(args.size, seed=0)
+    import jax.numpy as jnp
+
+    model = wat.build_model(args.size, seed=0,
+                            storage_dtype=(jnp.float32 if args.cpu
+                                           else jnp.bfloat16))
+    # mirror bench.py's `common` EXACTLY (incl. the quant flags): any
+    # option difference is a different compiled decode program, and a cold
+    # large-v1 compile over the tunnel costs tens of seconds INSIDE the
+    # measured drive — diagnosed 2026-08-20 when this profiler measured
+    # 14.5 audio-s/s while the identically-shaped bench row measured 66
     opts = dict(language="en", temperature=0.0, sample_len=args.sample_len,
                 logprob_threshold=None, compression_ratio_threshold=None,
-                no_speech_threshold=None, fp16=not args.cpu)
+                no_speech_threshold=None, fp16=not args.cpu,
+                kv_quant=True, kv_bits=8, weight_quant=True,
+                self_kv_quant=True)
 
     def make_wave(seed):
         rng = np.random.default_rng(seed)
@@ -129,9 +140,11 @@ def main():
             model, max_wait_s=args.max_wait,
             max_total_wait_s=args.max_total_wait,
         )
-        warm = service.open(**opts)          # compile via the service path
-        warm.feed(make_wave(99)[: 16000 * 31])
-        warm.finish()
+        # full bucket-ladder warmup (the bench row's path): a single-session
+        # warmup leaves the multi-stream buckets cold and ONE mid-drive
+        # large-v1 bucket compile (tens of seconds tunneled) wrecks the
+        # aggregate + p95
+        service.warmup(args.streams, **opts)
         warm_stats = service.stats()         # excluded from the drive's
 
         waves = [make_wave(i) for i in range(args.streams)]

@@ -193,6 +193,7 @@ def prefetch_stft_input(audio, padding: int = 0) -> PrefetchedAudio:
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
+@functools.partial(jax.jit, static_argnames=("lead",))
 def mel_stream_pieces(sigs: jnp.ndarray, n_valid: jnp.ndarray,
                       lead: int) -> jax.Array:
     """Batched window mel for same-length streaming pieces.

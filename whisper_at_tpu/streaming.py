@@ -623,25 +623,39 @@ class StreamingService:
         import time as _time
 
         t = np.arange(int(SAMPLE_RATE * seconds)) / SAMPLE_RATE
-        waves = [
-            (0.3 * np.sin(2 * np.pi * (220.0 + 10 * i) * t))
-            .astype(np.float32)
-            for i in range(int(n))
-        ]
-        sessions = [self.open(**session_options) for _ in waves]
 
-        def drive(i):
-            sessions[i].feed(waves[i])
-            sessions[i].finish()
+        def drive_k(k):
+            waves = [
+                (0.3 * np.sin(2 * np.pi * (220.0 + 10 * i) * t))
+                .astype(np.float32)
+                for i in range(int(k))
+            ]
+            sessions = [self.open(**session_options) for _ in waves]
 
+            def drive(i):
+                sessions[i].feed(waves[i])
+                sessions[i].finish()
+
+            threads = [_threading.Thread(target=drive, args=(i,))
+                       for i in range(len(waves))]
+            for th in threads:
+                th.start()
+            for th in threads:
+                th.join()
+
+        # every bucket <= n, largest first: a production drive mostly
+        # coalesces full batches, but straggler/finish batches land on the
+        # smaller buckets, and ONE cold large-v1 bucket compile mid-drive
+        # (tens of seconds on a tunneled backend) wrecks p95 finalize —
+        # observed 2026-08-20: a single-wave warmup left buckets {1,2,4}
+        # cold and a 3-min 8-stream drive measured 22 audio-s/s with p95
+        # 25 s; full-ladder warmup restored the steady state
+        ladder = sorted({_batch_bucket(k, self.max_batch)
+                         for k in range(1, int(n) + 1)}, reverse=True)
         t0 = _time.monotonic()
-        threads = [_threading.Thread(target=drive, args=(i,))
-                   for i in range(len(waves))]
-        for th in threads:
-            th.start()
-        for th in threads:
-            th.join()
-        return {"sessions": int(n),
+        for k in ladder:
+            drive_k(k)
+        return {"sessions": int(n), "buckets": ladder,
                 "seconds": round(_time.monotonic() - t0, 3)}
 
     def stats(self) -> dict:
