@@ -43,10 +43,36 @@ def _stub_numba():
 
 
 def load_reference():
-    """Import the reference package as ``ref_whisper_at`` (cached)."""
+    """Import the reference package as ``ref_whisper_at`` (cached).
+
+    Caches through ``sys.modules``, not only the module-global: this file
+    gets loaded under more than one module name (``refpkg`` by the tests,
+    a private spec by tools/validate_real_checkpoint.py), and each
+    instance has its own ``_cached``. If a second instance re-executed the
+    reference ``__init__`` while ``ref_whisper_at.*`` submodules were
+    already in ``sys.modules``, the fresh parent module would never get
+    its submodule attributes bound (``from .audio import ...`` falls back
+    to the sys.modules entry without a setattr) — observed as
+    ``ref_whisper_at has no attribute 'audio'`` in suite-order runs.
+    """
     global _cached
     if _cached is not None:
         return _cached
+    existing = sys.modules.get("ref_whisper_at")
+    if existing is not None:
+        try:
+            same = os.path.samefile(
+                os.path.dirname(existing.__file__), REF_PKG)
+        except OSError:
+            same = False
+        if same:
+            _cached = existing
+            return existing
+        # a different checkout was loaded: drop it (and its submodules) so
+        # the re-exec below binds everything freshly
+        for k in [k for k in sys.modules
+                  if k == "ref_whisper_at" or k.startswith("ref_whisper_at.")]:
+            del sys.modules[k]
     _stub_numba()
     spec = importlib.util.spec_from_file_location(
         "ref_whisper_at",
