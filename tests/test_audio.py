@@ -174,3 +174,16 @@ def test_prefetch_audio_from_file(tmp_path, chirp):
     via_prefetch = np.asarray(log_mel_spectrogram(pre))
     direct = np.asarray(log_mel_spectrogram(path))
     assert np.array_equal(via_prefetch, direct)
+
+
+def test_mel_stream_pieces_is_jitted():
+    """The scheduler's batched streaming mel must stay a SINGLE dispatch:
+    un-jitted it runs op-by-op eagerly — dozens of tunneled dispatches per
+    batch, measured 5.4 s/batch in sched-materialize (2026-08-20, the
+    streaming-throughput regression)."""
+    from whisper_at_tpu.ops.mel import mel_stream_pieces
+
+    # a jax.jit wrapper exposes lower(); a plain function does not
+    assert hasattr(mel_stream_pieces, "lower"), (
+        "mel_stream_pieces lost its @jax.jit wrapper"
+    )
