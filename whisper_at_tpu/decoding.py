@@ -635,15 +635,25 @@ def _gather_beam_cache(cache, flat_src, live, total):
     """
     if _GATHER_IMPL == "matmul":
         b = int(flat_src.shape[0])
-        onehot = (
-            flat_src[:, None] == jnp.arange(b, dtype=flat_src.dtype)[None, :]
-        ).astype(jnp.int8)
+        iota = jnp.arange(b, dtype=flat_src.dtype)
+        onehot = (flat_src[:, None] == iota[None, :]).astype(jnp.int8)
         permute = lambda x: _permute_rows_matmul(x, onehot)  # noqa: E731
     else:
         permute = lambda x: jnp.take(x, flat_src, axis=1)  # noqa: E731
 
     if not _GATHER_BUCKET:
-        return jax.tree.map(permute, cache)
+        if _GATHER_IMPL != "matmul":
+            return jax.tree.map(permute, cache)
+        # identity steps are free: with trained weights beams frequently
+        # keep their order (each beam's best continuation extends itself),
+        # making flat_src the identity — the whole ~10 ms/step reorder is
+        # then a no-op. Random-weight benches never hit this branch, so it
+        # shows up only on real checkpoints; the reduce costs ~nothing.
+        return jax.lax.cond(
+            jnp.all(flat_src == iota),
+            lambda: cache,
+            lambda: jax.tree.map(permute, cache),
+        )
 
     def take_prefix(w):
         def f(x):
