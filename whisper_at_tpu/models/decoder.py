@@ -772,9 +772,15 @@ def decoder_forward_rows(
         gathered = jnp.take_along_axis(new_l, idx[:, None, :, None], axis=2)
         return jnp.where(in_win[:, None, :, None], gathered, cache_l)
 
-    def body(carry, xs):
-        h, sk_all, sv_all = carry
-        layer_idx, block_params, ck, cv = xs
+    # the cache rides the scan as xs/ys (one layer in, one layer out per
+    # iteration) instead of the uniform path's carry + dynamic_index +
+    # full-layer dynamic_update_slice: the merged layer here is a freshly
+    # computed tensor, and writing it back into the carried [L, ...] stack
+    # defeated XLA's in-place aliasing — the first on-chip spec profile
+    # measured T_verify(9 pos) = 22.8 ms = 7.79x a 1-token step, i.e. the
+    # loop was copying cache stacks, not streaming layers
+    def body(h, xs):
+        block_params, ck, cv, k_layer, v_layer = xs
 
         normed = layer_norm(block_params["attn_ln"], h)
         if "qkv" in block_params["attn"]:
@@ -785,21 +791,11 @@ def decoder_forward_rows(
             k_new = linear(block_params["attn"]["key"], normed)
             v_new = linear(block_params["attn"]["value"], normed)
         qh = _split_v(q, n_head)
-        kh_new = _split_v(k_new, n_head).astype(sk_all.dtype)
-        vh_new = _split_v(v_new, n_head).astype(sv_all.dtype)
+        kh_new = _split_v(k_new, n_head).astype(k_layer.dtype)
+        vh_new = _split_v(v_new, n_head).astype(v_layer.dtype)
 
-        k_layer = jax.lax.dynamic_index_in_dim(sk_all, layer_idx, 0,
-                                               keepdims=False)
-        v_layer = jax.lax.dynamic_index_in_dim(sv_all, layer_idx, 0,
-                                               keepdims=False)
         k_layer = row_write(k_layer, kh_new, write_pos)
         v_layer = row_write(v_layer, vh_new, write_pos)
-        sk_all = jax.lax.dynamic_update_slice(
-            sk_all, k_layer[None], (layer_idx, 0, 0, 0, 0)
-        )
-        sv_all = jax.lax.dynamic_update_slice(
-            sv_all, v_layer[None], (layer_idx, 0, 0, 0, 0)
-        )
         attn_out = attention_decode(
             qh, k_layer.astype(compute_dtype), v_layer.astype(compute_dtype),
             mask=mask, k_transposed=False,
@@ -810,13 +806,11 @@ def decoder_forward_rows(
 
         normed = layer_norm(block_params["mlp_ln"], h)
         h = h + mlp(block_params["mlp"], normed)
-        return (h, sk_all, sv_all), None
+        return h, (k_layer, v_layer)
 
-    n_layer = cross_kv_payload(cross_k).shape[0]
-    layer_ids = jnp.arange(n_layer, dtype=jnp.int32)
-    (x, self_k, self_v), _ = jax.lax.scan(
-        body, (x, self_k, self_v),
-        (layer_ids, params["blocks"], cross_k, cross_v),
+    x, (self_k, self_v) = jax.lax.scan(
+        body, x,
+        (params["blocks"], cross_k, cross_v, self_k, self_v),
     )
 
     x = layer_norm(params["ln"], x)
