@@ -743,3 +743,38 @@ def test_spec_decode_through_transcribe_ladder(model, draft_model):
     # the full ladder (T>0 rungs present) must not raise
     spec2 = wat.transcribe(model, audio, draft_model=draft_model, **kw)
     assert isinstance(spec2["text"], str)
+
+
+@pytest.mark.quick
+def test_permute_rows_matmul_bit_exact_all_dtypes():
+    """The one-hot MXU permute must be a pure byte shuffle: bit-exact with
+    jnp.take for every cache dtype (int8 values, fp32 scales, bf16
+    unquantized caches), including non-finite fp32 payloads — the bitcast
+    formulation never does arithmetic on the payload."""
+    import jax.numpy as jnp
+
+    from whisper_at_tpu.decoding import _permute_rows_matmul
+
+    rng = np.random.default_rng(0)
+    b = 12
+    src = jnp.asarray(rng.permutation(b).astype(np.int32))
+    onehot = (src[:, None] == jnp.arange(b, dtype=src.dtype)[None, :]).astype(
+        jnp.int8
+    )
+    cases = [
+        jnp.asarray(rng.integers(-127, 128, (4, b, 3, 10, 8)), jnp.int8),
+        jnp.asarray(rng.standard_normal((4, b, 10, 3)), jnp.float32),
+        jnp.asarray(rng.standard_normal((4, b, 3, 10, 8)), jnp.bfloat16),
+    ]
+    weird = np.zeros((2, b, 4), np.float32)
+    weird[0, 0, 0] = np.nan
+    weird[1, 1, 1] = np.inf
+    weird[0, 2, 2] = -0.0
+    cases.append(jnp.asarray(weird))
+    for x in cases:
+        got = np.asarray(_permute_rows_matmul(x, onehot))
+        want = np.asarray(jnp.take(x, src, axis=1))
+        assert got.dtype == want.dtype and got.shape == want.shape
+        assert np.array_equal(
+            got.view(np.uint8), want.view(np.uint8)
+        ), f"byte mismatch for {x.dtype}"
