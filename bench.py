@@ -233,10 +233,16 @@ def run_measurement(args):
         common["beam_size"] = preset["beam"]
     elif args.beam:
         common["beam_size"] = args.beam
-    if args.draft and "beam_size" not in common:
-        common["draft_model"] = wat.build_model(args.draft,
-                                                storage_dtype=dtype, seed=1)
-        common["self_kv_quant"] = False  # per-row spec pass: plain cache
+    if args.draft:
+        if "beam_size" in common:
+            print(f"# --draft {args.draft} ignored: speculative decoding is "
+                  f"greedy-only and beam_size={common['beam_size']} is set "
+                  "(via --beam or the preset)", file=sys.stderr)
+        else:
+            common["draft_model"] = wat.build_model(args.draft,
+                                                    storage_dtype=dtype,
+                                                    seed=1)
+            common["self_kv_quant"] = False  # per-row spec pass: plain cache
 
     if args.streaming:
         return _run_streaming_measurement(args, model, common)

@@ -145,17 +145,54 @@ def test_validate_tool_end_to_end_on_synthetic_pair(tmp_path):
     assert str(goldens["model"]) == "tiny.pt"
 
 
-def test_download_checksum_cache_mismatch_warns(tmp_path):
-    """A cached file whose sha256 differs from the URL's embedded digest
-    warns loudly (it may be an intentional local substitute) instead of
-    failing later with an opaque torch deserialize error."""
+def test_download_checksum_cache_mismatch_redownloads(tmp_path, monkeypatch):
+    """A cached file whose sha256 differs from the URL's embedded digest is
+    re-downloaded by default (corruption is the common cause — the reference
+    ships this check commented out and fails later with an opaque torch
+    deserialize error)."""
+    import hashlib
+    import io
+    import urllib.request
+
+    from whisper_at_tpu import _download
+
+    payload = b"the released checkpoint bytes"
+    url = ("https://example.invalid/"
+           + hashlib.sha256(payload).hexdigest() + "/tiny.pt")
+
+    class FakeResponse(io.BytesIO):
+        def info(self):
+            return {"Content-Length": str(len(payload))}
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    monkeypatch.setattr(
+        urllib.request, "urlopen", lambda u: FakeResponse(payload)
+    )
+    (tmp_path / "tiny.pt").write_bytes(b"corrupted bytes")
+    with pytest.warns(UserWarning, match="re-downloading"):
+        out = _download(url, str(tmp_path), in_memory=True)
+    assert out == payload
+    assert (tmp_path / "tiny.pt").read_bytes() == payload
+
+
+def test_download_checksum_cache_mismatch_kept_when_opted_out(
+        tmp_path, monkeypatch):
+    """WHISPER_AT_TPU_KEEP_MISMATCHED_CACHE=1 keeps a mismatching cached file
+    (an intentional local substitute under an official name) with a warning."""
     from whisper_at_tpu import _download
     from whisper_at_tpu.registry import _MODELS
 
-    (tmp_path / "tiny.pt").write_bytes(b"corrupted bytes")
+    monkeypatch.setenv("WHISPER_AT_TPU_KEEP_MISMATCHED_CACHE", "1")
+    (tmp_path / "tiny.pt").write_bytes(b"local substitute bytes")
     with pytest.warns(UserWarning, match="sha256"):
         out = _download(_MODELS["tiny"], str(tmp_path), in_memory=False)
     assert out == str(tmp_path / "tiny.pt")
+    assert (tmp_path / "tiny.pt").read_bytes() == b"local substitute bytes"
 
 
 def test_download_checksum_fresh_mismatch_raises(tmp_path, monkeypatch):

@@ -7,6 +7,7 @@ Drop-in public API parity with the reference `whisper_at` package
 """
 
 import os
+import urllib.error
 import urllib.request
 from typing import List, Optional, Union
 
@@ -60,10 +61,13 @@ def _download(url: str, root: str, in_memory: bool) -> Union[bytes, str]:
     70-112), so a corrupted cache file surfaces as an opaque torch
     deserialization error. Here: a FRESH download that does not match the
     URL's digest is deleted and raises; a CACHED file that does not match
-    warns loudly and is used anyway — a mismatching cache may be an
-    intentional locally-substituted checkpoint under an official name
-    (the same case the alignment-heads fallback in load_model tolerates),
-    and the warning names the remedy for the corruption case.
+    is re-downloaded by default (corruption is the common cause), falling
+    back to the cached bytes with a warning when the network is unreachable
+    (offline use of an intentional local substitute keeps working). Set
+    WHISPER_AT_TPU_KEEP_MISMATCHED_CACHE=1 to keep a mismatching cache
+    without the re-download attempt — a locally-substituted checkpoint under
+    an official name (the same case the alignment-heads fallback in
+    load_model tolerates).
     """
     import hashlib
     import warnings
@@ -80,17 +84,56 @@ def _download(url: str, root: str, in_memory: bool) -> Union[bytes, str]:
     if os.path.isfile(download_target):
         with open(download_target, "rb") as f:
             model_bytes = f.read()
+        mismatched = False
         if expected_sha256 is not None:
             actual = hashlib.sha256(model_bytes).hexdigest()
             if actual != expected_sha256:
-                warnings.warn(
-                    f"cached checkpoint {download_target} has sha256 "
-                    f"{actual[:12]}..., expected {expected_sha256[:12]}... "
-                    "from its download URL. If this is not an intentional "
-                    "local substitute, delete the file to re-download it.",
-                    stacklevel=2,
-                )
-        return model_bytes if in_memory else download_target
+                mismatched = True
+                if os.environ.get("WHISPER_AT_TPU_KEEP_MISMATCHED_CACHE"):
+                    warnings.warn(
+                        f"cached checkpoint {download_target} has sha256 "
+                        f"{actual[:12]}..., expected "
+                        f"{expected_sha256[:12]}... from its download URL; "
+                        "keeping it because "
+                        "WHISPER_AT_TPU_KEEP_MISMATCHED_CACHE is set.",
+                        stacklevel=2,
+                    )
+                    mismatched = False
+                else:
+                    warnings.warn(
+                        f"cached checkpoint {download_target} has sha256 "
+                        f"{actual[:12]}..., expected "
+                        f"{expected_sha256[:12]}... from its download URL; "
+                        "re-downloading (set "
+                        "WHISPER_AT_TPU_KEEP_MISMATCHED_CACHE=1 to keep an "
+                        "intentional local substitute).",
+                        stacklevel=2,
+                    )
+        if not mismatched:
+            return model_bytes if in_memory else download_target
+        try:
+            return _download_fresh(url, download_target, expected_sha256,
+                                   in_memory)
+        except (urllib.error.URLError, OSError):
+            # network unreachable — the mismatching cache is all we have;
+            # it may be an intentional offline substitute, so use it.
+            with open(download_target, "wb") as f:
+                f.write(model_bytes)
+            warnings.warn(
+                f"re-download of {download_target} failed (network "
+                "unreachable); using the mismatching cached file.",
+                stacklevel=2,
+            )
+            return model_bytes if in_memory else download_target
+    return _download_fresh(url, download_target, expected_sha256, in_memory)
+
+
+def _download_fresh(url: str, download_target: str,
+                    expected_sha256: Optional[str],
+                    in_memory: bool) -> Union[bytes, str]:
+    """Stream `url` to `download_target`, verifying sha256 as bytes arrive;
+    a mismatching transfer is deleted and raises (never cached)."""
+    import hashlib
 
     hasher = hashlib.sha256()
     with urllib.request.urlopen(url) as source, open(download_target, "wb") as output:

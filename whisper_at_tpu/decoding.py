@@ -35,9 +35,24 @@ from .utils import compression_ratio
 
 NEG_INF = float("-inf")
 
-# diagnostics from the most recent speculative decode in this process
-# (tools/profile_spec.py, bench informational row)
-_LAST_SPEC_STATS: Optional[dict] = None
+# diagnostics from the most recent speculative decode in the CURRENT THREAD
+# (tools/profile_spec.py, bench informational row). Thread-local so concurrent
+# StreamingService worker decodes can't interleave each other's stats; module
+# attribute access (`decoding._LAST_SPEC_STATS`) resolves through the PEP-562
+# __getattr__ below, preserving the established read-site API.
+import threading as _threading
+
+_SPEC_STATS_TLS = _threading.local()
+
+
+def _set_last_spec_stats(stats: dict) -> None:
+    _SPEC_STATS_TLS.stats = stats
+
+
+def __getattr__(name: str):
+    if name == "_LAST_SPEC_STATS":
+        return getattr(_SPEC_STATS_TLS, "stats", None)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 
 @dataclass(frozen=True)
@@ -1340,8 +1355,7 @@ class DecodingTask:
             "commits": int(commits),
             "tokens_per_round": (float(commits) / max(int(rounds), 1)),
         }
-        global _LAST_SPEC_STATS
-        _LAST_SPEC_STATS = self.spec_stats
+        _set_last_spec_stats(self.spec_stats)
 
         sampled = buf_out[:, prefill: prefill + n_steps]
         eot_col = np.full((sampled.shape[0], 1), tokenizer.eot, np.int32)

@@ -192,7 +192,6 @@ def prefetch_stft_input(audio, padding: int = 0) -> PrefetchedAudio:
     return PrefetchedAudio(jax.device_put(sig), n_frames, padding)
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
 @functools.partial(jax.jit, static_argnames=("lead",))
 def mel_stream_pieces(sigs: jnp.ndarray, n_valid: jnp.ndarray,
                       lead: int) -> jax.Array:
