@@ -32,6 +32,25 @@ class WordTiming:
     probability: float
 
 
+def _align_dtype(model):
+    """Compute dtype for the alignment forward: the model's own half
+    precision when its weights are half (the reference runs find_alignment
+    in the model dtype — fp16 on GPU, whisper_at/timing.py:185-191 via
+    model(mel, tokens) — not a widened fp32 pass), fp32 for fp32 weights
+    (tests, CPU). WHISPER_AT_TPU_ALIGN_DTYPE={fp32,bf16} overrides (A/B
+    lever; read per call, never inside jit). The QK capture buffer and the
+    softmax/z-norm/median weight chain stay fp32 either way."""
+    import os
+
+    env = os.environ.get("WHISPER_AT_TPU_ALIGN_DTYPE")
+    if env == "fp32":
+        return jnp.float32
+    if env == "bf16":
+        return jnp.bfloat16
+    return (jnp.bfloat16 if model.storage_dtype == jnp.bfloat16
+            else jnp.float32)
+
+
 def find_alignment(
     model,
     tokenizer: Tokenizer,
@@ -64,7 +83,8 @@ def find_alignment(
 
     if mel.ndim == 2:
         mel = mel[None]
-    audio_features, _ = model.embed_audio(mel, fp16=False)
+    dtype = _align_dtype(model)
+    audio_features, _ = model.embed_audio(mel, fp16=(dtype == jnp.bfloat16))
 
     logits, qk = decoder_forward_with_qk(
         model.params["decoder"],
@@ -73,7 +93,7 @@ def find_alignment(
         jnp.asarray(sel_slot),
         model.dims.n_text_head,
         n_sel,
-        jnp.float32,
+        dtype,
     )
     logits = np.asarray(logits[0], np.float64)  # [S, V]
 
@@ -215,10 +235,12 @@ def find_alignment_batched(
     *,
     medfilt_width: int = 7,
     qk_scale: float = 1.0,
+    audio_features=None,
 ) -> List[List[WordTiming]]:
-    """Batched `find_alignment`: ONE fp32 encoder forward and ONE
-    QK-capturing decoder forward for N windows, instead of a batch-1 pair
-    (plus a full [S, V] logits pull) per window.
+    """Batched `find_alignment`: ONE encoder forward and ONE QK-capturing
+    decoder forward for N windows (in the model's compute dtype — see
+    _align_dtype), instead of a batch-1 pair (plus a full [S, V] logits
+    pull) per window.
 
     Token rows are right-padded to a bucketed common length — exact for
     the valid positions under the causal mask (decoder_forward_with_qk
@@ -232,6 +254,14 @@ def find_alignment_batched(
     mels: [N, 80, F_mel] stacked windows (array or list);
     num_frames_list: per-window valid frame counts. Empty token lists
     return [] rows without joining the device batch.
+
+    audio_features: optional per-row encoder outputs ([N, F, D] array or
+    list of [F, D] rows) already computed by the decode pass
+    (DecodingResult.audio_features) — the SAME embed_audio output the
+    alignment forward would recompute from `mels`, so passing it skips the
+    whole encoder forward (the dominant cost of the words path). The
+    reference has no batched analogue; its solo find_alignment likewise
+    re-runs model(mel, tokens) per window (whisper_at/timing.py:185-191).
     """
     n = len(text_tokens_list)
     out: List[List[WordTiming]] = [[] for _ in range(n)]
@@ -263,11 +293,20 @@ def find_alignment_batched(
         toks[j, : len(r)] = r
     lens = np.asarray([len(r) for r in rows], np.int32)
 
-    mels = jnp.stack([jnp.asarray(m) for m in mels]) \
-        if isinstance(mels, (list, tuple)) else jnp.asarray(mels)
-    if mels.ndim == 2:
-        mels = mels[None]
-    audio_features, _ = model.embed_audio(mels[np.asarray(live)], fp16=False)
+    dtype = _align_dtype(model)
+    if audio_features is not None:
+        if isinstance(audio_features, (list, tuple)):
+            audio_features = jnp.stack(
+                [jnp.asarray(audio_features[i]) for i in live])
+        else:
+            audio_features = jnp.asarray(audio_features)[np.asarray(live)]
+    else:
+        mels = jnp.stack([jnp.asarray(m) for m in mels]) \
+            if isinstance(mels, (list, tuple)) else jnp.asarray(mels)
+        if mels.ndim == 2:
+            mels = mels[None]
+        audio_features, _ = model.embed_audio(
+            mels[np.asarray(live)], fp16=(dtype == jnp.bfloat16))
 
     logits, qk = decoder_forward_with_qk(
         model.params["decoder"],
@@ -276,7 +315,7 @@ def find_alignment_batched(
         jnp.asarray(sel_slot),
         model.dims.n_text_head,
         n_sel,
-        jnp.float32,
+        dtype,
     )
     # per-token probabilities on device (fused gather + logsumexp); the
     # D2H pull is [G, S] instead of G x [S, V]
@@ -418,13 +457,16 @@ def add_word_timestamps_many(
     alignment forward (find_alignment_batched) replaces a batch-1 encoder
     + decoder pair per window; punctuation merge and word carving stay
     per window. window_jobs: (segments, mel_window [80, F], num_frames)
-    triples — segments are modified in place."""
+    triples — segments are modified in place — or 4-tuples with the
+    window's decode-pass encoder features appended
+    (DecodingResult.audio_features), which skip the encoder recompute
+    entirely (see find_alignment_batched)."""
     jobs = [j for j in window_jobs if len(j[0]) > 0]
     if not jobs:
         return
     tok_lists = []
     seg_tok_lists = []
-    for segments, _, _ in jobs:
+    for segments, *_ in jobs:
         per_seg = [
             [t for t in seg["tokens"] if t < tokenizer.eot]
             for seg in segments
@@ -462,16 +504,19 @@ def add_word_timestamps_many(
         chunks.append(cur)
 
     alignments = [None] * len(jobs)
+    have_feats = all(len(j) >= 4 and j[3] is not None for j in jobs)
     for idxs in chunks:
         sub = find_alignment_batched(
             model, tokenizer, [tok_lists[i] for i in idxs],
             [jobs[i][1] for i in idxs],
             [jobs[i][2] for i in idxs],
+            audio_features=(
+                [jobs[i][3] for i in idxs] if have_feats else None),
             **kwargs,
         )
         for i, a in zip(idxs, sub):
             alignments[i] = a
-    for (segments, _, _), alignment, per_seg in zip(
+    for (segments, *_), alignment, per_seg in zip(
         jobs, alignments, seg_tok_lists
     ):
         _apply_alignment(segments, alignment, per_seg,

@@ -529,13 +529,15 @@ def _assemble_windows(model, results, windows, content_frames, tokenizer,
     if word_timestamps:
         # ONE batched alignment forward per chunk instead of a batch-1
         # encoder+decoder pair per window (timing.add_word_timestamps_many);
-        # chunked to bound the fp32 alignment forward's memory.
+        # chunked to bound the alignment forward's memory. The decode
+        # pass's encoder output rides along (4th element) so the batched
+        # attach skips the encoder recompute entirely.
         # WHISPER_AT_TPU_ALIGN=solo reverts to the per-window path
         # (A/B lever + safety valve; read per call, never inside jit)
-        jobs = [(segs, windows[w], seg_size)
+        jobs = [(segs, windows[w], seg_size, results[w].audio_features)
                 for segs, w, seg_size in per_window if segs]
         if os.environ.get("WHISPER_AT_TPU_ALIGN") == "solo":
-            for segs, mel_w, seg_size in jobs:
+            for segs, mel_w, seg_size, _ in jobs:
                 _attach_word_timings(
                     model, tokenizer, segs, mel_w, seg_size,
                     prepend_punctuations, append_punctuations,
