@@ -524,3 +524,34 @@ def test_extract_features_many_matches_per_clip():
     for i, clip in enumerate(clips):
         solo = extract_features(model, clip, n_frames=1000, fp16=False)
         np.testing.assert_allclose(batched[i], solo, rtol=1e-5, atol=1e-6)
+
+
+def test_extract_features_many_ragged_and_fetch_dtype():
+    """Ragged clip lengths fall back to the per-clip mel chain with the
+    same results (short clip zero-padded on the mel); fetch_dtype returns
+    the pooled stack in the requested dtype (the D2H halving lever)."""
+    import jax.numpy as jnp
+
+    from whisper_at_tpu.research.feature_extract import (
+        extract_features,
+        extract_features_many,
+    )
+
+    model = Whisper(DIMS, seed=3)
+    rng = np.random.default_rng(11)
+    clips = [rng.standard_normal(16000 * 10).astype(np.float32) * 0.1,
+             rng.standard_normal(16000 * 6).astype(np.float32) * 0.1]
+    batched = np.asarray(
+        extract_features_many(model, clips, n_frames=1000, fp16=False),
+        np.float32,
+    )
+    for i, clip in enumerate(clips):
+        solo = extract_features(model, clip, n_frames=1000, fp16=False)
+        np.testing.assert_allclose(batched[i], solo, rtol=1e-5, atol=1e-6)
+
+    out16 = extract_features_many(model, clips, n_frames=1000, fp16=False,
+                                  fetch_dtype=jnp.bfloat16)
+    assert out16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out16, np.float32), batched, rtol=1e-2, atol=1e-3,
+    )

@@ -112,22 +112,67 @@ def _pool_taps_device(taps: jnp.ndarray, pool: int) -> jnp.ndarray:
     return pooled[:, 1:]
 
 
+@functools.partial(jax.jit, static_argnames=("n_frames",))
+def _mel_batch_same_len(sigs: jnp.ndarray, n_valid: jnp.ndarray,
+                        n_frames: int) -> jnp.ndarray:
+    """One batched mel dispatch for N equal-length host-prepped clips:
+    [N, L] `_stft_host_prep(exact=True)` signals -> [N, 80, n_frames]
+    truncated/zero-padded mels, each row identical to the per-clip
+    `pad_or_trim(log_mel_spectrogram(a), n_frames)` chain (same _mel_power
+    + _log_normalize math, vmapped — the extraction analogue of
+    ops.mel.mel_windows_many)."""
+    from ..ops.mel import HOP_LENGTH, _log_normalize, _mel_power
+
+    bucket = sigs.shape[1] // HOP_LENGTH - 2
+    mels = jax.vmap(lambda s: _mel_power(s, bucket))(sigs)   # [N, F, 80]
+    logs = jax.vmap(_log_normalize)(mels, n_valid)           # [N, F, 80]
+    out = logs.transpose(0, 2, 1)                            # [N, 80, F]
+    f = out.shape[2]
+    if f >= n_frames:
+        return out[:, :, :n_frames]
+    return jnp.pad(out, ((0, 0), (0, 0), (0, n_frames - f)))
+
+
+def _mel_batch_for_clips(audios, n_frames: int):
+    """[N, 80, n_frames] mel batch for a list of clips: ONE prepped-signal
+    stack + ONE device dispatch when every clip shares a length (the
+    AudioSet protocol — all 10 s), falling back to the per-clip mel chain
+    for ragged input."""
+    from ..ops.mel import _stft_host_prep
+
+    arrs = [np.asarray(a).reshape(-1) for a in audios]
+    if len({a.shape[0] for a in arrs}) == 1:
+        preps = [_stft_host_prep(a, 0, exact=True) for a in arrs]
+        if len({p[0].dtype for p in preps}) == 1:
+            sigs = np.stack([p[0] for p in preps])
+            n_valid = np.asarray([p[1] for p in preps], np.int32)
+            return _mel_batch_same_len(jnp.asarray(sigs),
+                                       jnp.asarray(n_valid), n_frames)
+    mels = [pad_or_trim(log_mel_spectrogram(a), n_frames) for a in arrs]
+    return jnp.stack([jnp.asarray(m) for m in mels])
+
+
 def extract_features_many(
     model,
     audios,
     n_frames: int = 1000,
     pool: int = POOL,
     fp16: bool = True,
+    fetch_dtype=None,
 ) -> jnp.ndarray:
     """Batched `extract_features`: one encoder-taps forward for a LIST of
-    clips, pooling on device. Returns fp32 [B, n_layer, n_frames/2/pool, D]
+    clips, pooling on device. Returns [B, n_layer, n_frames/2/pool, D]
     (a device array — np.asarray() it to fetch; the embedding tap is
     already dropped). Per-clip mels keep `extract_features`' exact
-    truncation semantics (pad_or_trim on the MEL, zeros — not silence)."""
-    mels = [
-        pad_or_trim(log_mel_spectrogram(a), n_frames) for a in audios
-    ]
-    mel_batch = jnp.stack([jnp.asarray(m) for m in mels])
+    truncation semantics (pad_or_trim on the MEL, zeros — not silence);
+    equal-length clips share ONE batched mel dispatch.
+
+    fetch_dtype: dtype of the returned device array. None keeps the fp32
+    pooled values (exact). For a bf16 forward, bf16 ships HALF the D2H
+    bytes for values whose information content is already bf16 (the taps) —
+    widen to fp32 on host before writing npz (the written file keeps its
+    fp32 format; only the pooled mean's sub-bf16 residual differs)."""
+    mel_batch = _mel_batch_for_clips(audios, n_frames)
     taps = encoder_apply_taps(
         model.params["encoder"],
         mel_batch,
@@ -136,7 +181,8 @@ def extract_features_many(
         model.compute_dtype(fp16),
         attn_impl=_attn_impl(model),
     )
-    return _pool_taps_device(taps, pool)
+    pooled = _pool_taps_device(taps, pool)
+    return pooled if fetch_dtype is None else pooled.astype(fetch_dtype)
 
 
 def extract_feature_set(
@@ -163,12 +209,25 @@ def extract_feature_set(
     todo = [e["wav"] for e in data if not os.path.exists(out_path(e["wav"]))]
     written = []
 
-    for start in range(0, len(todo), batch_size):
-        chunk = todo[start : start + batch_size]
-        pooled = np.asarray(extract_features_many(
-            model, [load_audio(w) for w in chunk], n_frames, fp16=fp16
-        ), np.float32)
-        for wav, feat in zip(chunk, pooled):
-            np.savez_compressed(out_path(wav), feat)
-            written.append(out_path(wav))
+    # software pipeline: dispatch chunk i+1's forward (async) BEFORE fetching
+    # chunk i, so the D2H pull and the npz writes of chunk i overlap chunk
+    # i+1's device execution (the same overlap discipline as the bench's
+    # H2D prefetch); bf16 fetch halves the pull bytes for a bf16 forward.
+    fetch_dtype = jnp.bfloat16 if fp16 else None
+    chunks = [todo[s:s + batch_size] for s in range(0, len(todo), batch_size)]
+    pending = None  # (chunk, device array)
+    for chunk in chunks + [None]:
+        nxt = None
+        if chunk is not None:
+            nxt = (chunk, extract_features_many(
+                model, [load_audio(w) for w in chunk], n_frames, fp16=fp16,
+                fetch_dtype=fetch_dtype,
+            ))
+        if pending is not None:
+            prev_chunk, dev = pending
+            pooled = np.asarray(dev).astype(np.float32)
+            for wav, feat in zip(prev_chunk, pooled):
+                np.savez_compressed(out_path(wav), feat)
+                written.append(out_path(wav))
+        pending = nxt
     return written
