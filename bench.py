@@ -374,6 +374,18 @@ def run_measurement(args):
         "vs_baseline": round(rtf / TARGET_RTF, 3),
         "times_s": [round(t, 3) for t in times],
     }
+    if args.serving:
+        # the serving row's audio-s/s is window throughput x the file mix's
+        # padding multiplier (mean real-audio seconds per 30 s window / 30)
+        # — tools/profile_serving.py measured window throughput at ~103% of
+        # the offline packed path, so the whole offline-vs-serving gap is
+        # this multiplier (exactness-bound: every 8-25 s file decodes one
+        # full 30 s window, reference pad_or_trim semantics). Record both
+        # so the row is self-explanatory.
+        n_windows = len(durations)  # every 8-25 s file is one window
+        result["windows_per_s"] = round(n_windows / best, 2)
+        result["padding_multiplier"] = round(
+            audio_seconds / (30.0 * n_windows), 3)
     if "draft_model" in common:
         from whisper_at_tpu import decoding as _dec
 

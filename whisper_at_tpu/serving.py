@@ -384,13 +384,24 @@ class TranscriptionService:
         return batch, head.key
 
     def _scheduler(self):
+        from .transcribe import _serve_prof as prof
+
+        last_dispatch_end = None
         while True:
+            t_fill = time.perf_counter()
             taken = self._take_batch()
             if taken is self._CLOSED:
                 return
             batch, _ = taken
             if not batch:
                 continue
+            prof.add("sched-fill", time.perf_counter() - t_fill)
+            if last_dispatch_end is not None:
+                # device-idle surface between consecutive transcribe_many
+                # calls: everything the scheduler did since the previous
+                # batch's return (fill wait + futures settle + stats)
+                prof.add("sched-gap",
+                         time.perf_counter() - last_dispatch_end)
             options = dict(batch[0].options)
             t0 = time.monotonic()
             try:
@@ -406,6 +417,7 @@ class TranscriptionService:
                     self._stats["batches"] += 1
                 continue
             done = time.monotonic()
+            last_dispatch_end = time.perf_counter()
             n_windows = sum(r.windows for r in batch)
             with self._stats_lock:
                 s = self._stats
@@ -417,8 +429,10 @@ class TranscriptionService:
                 for r, res in zip(batch, results):
                     s["audio_seconds"] += _audio_seconds(r.audio)
                     self._latencies.append(done - r.submitted_at)
+            t_settle = time.perf_counter()
             for r, res in zip(batch, results):
                 _settle(r.future, result=res)
+            prof.add("sched-settle", time.perf_counter() - t_settle)
 
 
 def _audio_seconds(prepped) -> float:

@@ -49,6 +49,13 @@ from .segmentation import (
 )
 from .tokenizer import LANGUAGES, get_tokenizer
 from .utils import exact_div, format_timestamp, make_safe
+from .utils.profiling import StageProf
+
+# WHISPER_AT_TPU_SERVE_PROF=1: per-stage wall+CPU accounting of every
+# transcribe_many call (frontend mel / decode / tag dispatch / assembly /
+# tag commit) — the serving-path analogue of the streaming host-work
+# profiler; read via tools/profile_serving.py. Zero overhead when unset.
+_serve_prof = StageProf("WHISPER_AT_TPU_SERVE_PROF")
 
 _PUNCT_PREPEND = "\"'“¿([{-"
 _PUNCT_APPEND = "\"'.。,，!！?？:：”)]}、"
@@ -595,6 +602,7 @@ def transcribe_many(
     Returns one `transcribe_batched`-shaped result dict per input, in order.
     """
     _reject_conditioning(decode_options)
+    prof = _serve_prof
     gate = QualityGate(compression_ratio_threshold, logprob_threshold,
                        no_speech_threshold)
     input_stride, time_precision = _geometry(model)
@@ -616,6 +624,9 @@ def transcribe_many(
     from .audio import load_audio_pcm16
     from .ops.mel import _stft_host_prep, mel_windows_many
 
+    import time as _time
+
+    _t0 = _time.perf_counter()
     files = []
     groups = {}
     for audio in audios:
@@ -667,6 +678,8 @@ def transcribe_many(
     # loop iteration's locals hold them too, not just `groups`
     groups = idxs = host = dev = parts = order = sigs = n_valid = wins = None
     del groups, idxs, host, dev, parts, order, sigs, n_valid, wins
+    prof.add("frontend-mel", _time.perf_counter() - _t0)
+    _t0 = _time.perf_counter()
 
     if needs_detect:
         # ONE batched language-id pass over every file's first window —
@@ -695,6 +708,8 @@ def transcribe_many(
         place_model_on_mesh(model, mesh)
         max_batch = _round_max_batch_for_mesh(max_batch, mesh)
 
+    prof.add("detect", _time.perf_counter() - _t0)
+    _t0 = _time.perf_counter()
     by_lang = {}
     for i, f in enumerate(files):
         by_lang.setdefault(f["language"], []).append(i)
@@ -728,6 +743,8 @@ def transcribe_many(
             results_per_file[i] = res[pos:pos + n]
             pos += n
 
+    prof.add("decode", _time.perf_counter() - _t0)
+    _t0 = _time.perf_counter()
     # one batched tag pass over every window of every file, dispatched
     # before the host-side assembly loop so the device work overlaps it
     entries = []
@@ -736,6 +753,8 @@ def transcribe_many(
         for w, r in enumerate(results_per_file[i]):
             entries.append((f["grid"], w * N_FRAMES, r.audio_features_for_at))
     commit_tags = _stitch_tags_dispatch(model, entries, at_time_res, max_batch)
+    prof.add("tag-dispatch", _time.perf_counter() - _t0)
+    _t0 = _time.perf_counter()
 
     assembled = []
     for i, f in enumerate(files):
@@ -746,8 +765,12 @@ def transcribe_many(
             verbose,
         )
         assembled.append((toks, segs))
+    prof.add("assembly", _time.perf_counter() - _t0)
+    _t0 = _time.perf_counter()
     commit_tags()  # grids must be written before audio_tag is read
-    return [
+    prof.add("tag-commit", _time.perf_counter() - _t0)
+    _t0 = _time.perf_counter()
+    out = [
         dict(
             text=f["tokenizer"].decode(toks),
             segments=segs,
@@ -757,6 +780,8 @@ def transcribe_many(
         )
         for f, (toks, segs) in zip(files, assembled)
     ]
+    prof.add("emit", _time.perf_counter() - _t0)
+    return out
 
 
 def _decode_windows_batched(model, windows, temperature, gate: QualityGate,
