@@ -119,11 +119,21 @@ def build_parser():
                              "(default on; token parity on test models)")
     parser.add_argument("--no-weight-quant", dest="weight_quant",
                         action="store_false")
+    parser.add_argument("--weight-bits", type=int, default=8, choices=(8, 4),
+                        help="weight quantization width (4 = +-7 levels "
+                             "packed two per byte, halves the weight "
+                             "stream again; parity budget: "
+                             "tools/quant_divergence.py)")
     parser.add_argument("--self-kv-quant", action="store_true", default=True,
                         help="int8 self-attention KV cache (token parity "
                              "verified on test models)")
     parser.add_argument("--no-self-kv-quant", dest="self_kv_quant",
                         action="store_false")
+    parser.add_argument("--self-kv-bits", type=int, default=8,
+                        choices=(8, 4),
+                        help="self-KV cache quantization width (4 = packed "
+                             "nibbles along Dh; the beam permute "
+                             "re-streams half the bytes)")
     parser.add_argument("--beam", type=int, default=0,
                         help="beam size for non-preset runs (0 = greedy); "
                              "the large-beam preset pins its own")
@@ -223,7 +233,9 @@ def run_measurement(args):
         kv_quant=args.kv_quant,
         kv_bits=args.kv_bits,
         weight_quant=args.weight_quant,
+        weight_bits=args.weight_bits,
         self_kv_quant=args.self_kv_quant,
+        self_kv_bits=args.self_kv_bits,
     )
     if preset.get("task"):
         common["task"] = preset["task"]
@@ -366,8 +378,8 @@ def run_measurement(args):
                   f"{'word timestamps, ' if args.words else ''}"
                   f"{beam_tag}{spec_tag}"
                   f"{f'int{args.kv_bits} cross-KV, ' if args.kv_quant else ''}"
-                  f"{'int8 weights, ' if args.weight_quant else ''}"
-                  f"{'int8 self-KV, ' if common.get('self_kv_quant') else ''}"
+                  f"{f'int{args.weight_bits} weights, ' if args.weight_quant else ''}"
+                  f"{f'int{args.self_kv_bits} self-KV, ' if common.get('self_kv_quant') else ''}"
                   "1 chip)",
         "value": round(rtf, 2),
         "unit": "audio-sec/sec",
@@ -386,6 +398,8 @@ def run_measurement(args):
         result["windows_per_s"] = round(n_windows / best, 2)
         result["padding_multiplier"] = round(
             audio_seconds / (30.0 * n_windows), 3)
+    else:
+        result.update(_utilization_columns(model, args, best))
     if "draft_model" in common:
         from whisper_at_tpu import decoding as _dec
 
@@ -393,6 +407,59 @@ def run_measurement(args):
             result["spec_tokens_per_round"] = round(
                 _dec._LAST_SPEC_STATS["tokens_per_round"], 2)
     return result
+
+
+def _utilization_columns(model, args, iter_seconds: float) -> dict:
+    """Driver-auditable MFU / bandwidth columns for the headline row
+    (VERDICT r4 #7): analytic FLOP counts (ops/flops.py) and the decode
+    loop's streamed-byte model, divided by the measured iteration wall.
+
+    - achieved_tflops_per_s / mfu_vs_bf16_peak: whole-pipeline FLOPs
+      (encoder + decode + 3x TL-TR per window, MACs x2) over the wall.
+      A DMA-bound decode keeps MFU low by design; the column makes the
+      floor claims auditable, not aspirational.
+    - decode_hbm_gb_per_s_floor: bytes the decode loop MUST stream per
+      step (decode-path weight payloads from the live param tree — so
+      int8/int4 quantization shows up as real bytes — plus cross-KV
+      payloads and the average-fill self cache), over the FULL iteration
+      wall; a lower bound on achieved HBM bandwidth during decode.
+    """
+    import jax
+
+    from whisper_at_tpu.ops.flops import (
+        decoder_flops, encoder_flops, tltr_flops,
+    )
+
+    dims = model.dims
+    b, toks = args.batch, args.tokens
+    macs = b * (encoder_flops(dims) + decoder_flops(dims, toks)
+                + 3 * tltr_flops("tl_tr_1_8", dims.n_audio_layer,
+                                 dims.n_audio_state, t=25))
+    achieved = 2.0 * macs / iter_seconds  # FLOPs/s (MAC = 2 FLOPs)
+
+    # v5e bf16 peak 197 TFLOP/s; v4 275; fall back to v5e for unknown kinds
+    kind = str(jax.devices()[0].device_kind).lower()
+    peak = 275e12 if "v4" in kind else 197e12
+
+    dec_tree = model.decoder_params_decode(args.weight_quant,
+                                           args.weight_bits)
+    weight_bytes = sum(int(x.nbytes) for x in jax.tree.leaves(dec_tree))
+    d, h = dims.n_text_state, dims.n_text_head
+    l, ta = dims.n_text_layer, dims.n_audio_ctx
+    kv_payload = 1.0 if not args.kv_quant else (args.kv_bits / 8.0)
+    cross_bytes = 2 * l * b * d * ta * kv_payload \
+        + (2 * l * b * h * ta * 4 if args.kv_quant else 0)
+    ctx_total = toks + 16  # prefill slots ride along
+    self_payload = (args.self_kv_bits / 8.0 if args.self_kv_quant else 2.0)
+    self_bytes = 2 * l * b * d * ctx_total * self_payload * 0.5  # avg fill
+    per_step = weight_bytes + cross_bytes + self_bytes
+    return {
+        "achieved_tflops_per_s": round(achieved / 1e12, 2),
+        "mfu_vs_bf16_peak": round(achieved / peak, 4),
+        "decode_hbm_gb_per_s_floor": round(
+            toks * per_step / iter_seconds / 1e9, 1),
+        "decode_stream_mb_per_step": round(per_step / 1e6, 1),
+    }
 
 
 def _run_extract_measurement(args, model):
@@ -548,8 +615,8 @@ def _run_streaming_measurement(args, model, common):
                   f"({n} concurrent sessions, saturated 250 ms feed, "
                   f"StreamingService, {args.tokens} tok/30s-window, "
                   f"{f'int{args.kv_bits} cross-KV, ' if args.kv_quant else ''}"
-                  f"{'int8 weights, ' if args.weight_quant else ''}"
-                  f"{'int8 self-KV, ' if args.self_kv_quant else ''}1 chip)",
+                  f"{f'int{args.weight_bits} weights, ' if args.weight_quant else ''}"
+                  f"{f'int{args.self_kv_bits} self-KV, ' if args.self_kv_quant else ''}1 chip)",
         "value": round(value, 2),
         "unit": "audio-sec/sec",
         "vs_baseline": round(value / TARGET_RTF, 3),
@@ -666,6 +733,10 @@ def passthrough_flags(args):
     flags += ["--tokens", str(args.tokens), "--iters", str(args.iters)]
     if args.kv_bits != 8:
         flags += ["--kv-bits", str(args.kv_bits)]
+    if args.weight_bits != 8:
+        flags += ["--weight-bits", str(args.weight_bits)]
+    if args.self_kv_bits != 8:
+        flags += ["--self-kv-bits", str(args.self_kv_bits)]
     return flags
 
 
@@ -982,6 +1053,16 @@ def orchestrate(args):
     # --kv-bits)
     if args.kv_bits == 8:
         info_row("headline-int4-optin", ["--kv-bits", "4"])
+
+    # opt-in int4 WEIGHTS (r5: +-7 levels packed two per byte) and the
+    # all-int4 byte floor (cross-KV + weights + self-KV all at 4 bits) —
+    # each differs from the headline ONLY in its extra flags
+    if args.weight_bits == 8:
+        info_row("headline-int4w-optin", ["--weight-bits", "4"])
+    if args.kv_bits == 8 and args.weight_bits == 8 and args.self_kv_bits == 8:
+        info_row("headline-int4all-optin",
+                 ["--kv-bits", "4", "--weight-bits", "4",
+                  "--self-kv-bits", "4"])
 
     # the headline with device-resident input — the number a real
     # (non-tunneled) TPU host sees. On this environment the H2D serializes

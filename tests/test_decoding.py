@@ -268,6 +268,95 @@ def test_self_kv_quant_matches_fp_path(model, mel):
     assert b1.tokens == b2.tokens
 
 
+def test_self_kv_int4_cache_holds_4bit_quant_of_int8_values(model, mel):
+    """The packed int4 self cache must contain exactly the 4-bit
+    quantization of the SAME k/v values the int8 cache quantizes at 8 bits
+    (both runs see identical inputs at the prefill forward). Catches
+    nibble-order, sign-extension, and DUS-offset bugs in the packed write
+    path without demanding fp32 token equality (+-7 activation levels
+    genuinely flip argmax on the random test model — unlike cross-KV int4,
+    which re-quantizes STATIC projections)."""
+    import jax
+    import jax.numpy as jnp
+
+    from whisper_at_tpu.models.decoder import (
+        _unpack_q, decoder_forward, init_cache, precompute_cross_kv,
+    )
+
+    dims = model.dims
+    rng = np.random.default_rng(5)
+    feats = jnp.asarray(
+        rng.standard_normal((2, dims.n_audio_ctx, dims.n_audio_state)) * 0.3,
+        jnp.float32,
+    )
+    tokens = jnp.asarray(rng.integers(0, 1000, (2, 6)), jnp.int32)
+    dec = model.decoder_params_fused
+    ck, cv = precompute_cross_kv(dec, feats, dims.n_text_head, jnp.float32)
+
+    caches = {}
+    for bits in (8, 4):
+        sk, sv = init_cache(dims.n_text_layer, 2, 12, dims.n_text_state,
+                            jnp.float32, dims.n_text_head,
+                            quantize=True, bits=bits)
+        _, sk_out, sv_out = decoder_forward(
+            dec, tokens, ck, cv, sk, sv, jnp.int32(0), jnp.int32(0),
+            dims.n_text_head, jnp.float32,
+        )
+        caches[bits] = (sk_out, sv_out)
+
+    for side in (0, 1):
+        # layer 0 only: both runs see identical k/v inputs there (deeper
+        # layers legitimately diverge — their inputs already passed through
+        # layer 0's int8- vs int4-dequantized attention)
+        c8, c4 = caches[8][side], caches[4][side]
+        q8 = np.asarray(c8["q"], np.float64)[:1, :, :, :6]  # written slots
+        s8 = np.asarray(c8["s"], np.float64)[:1, :, :6]      # [1, B, S, H]
+        q4 = np.asarray(_unpack_q({"q4": c4["q4"]}),
+                        np.float64)[:1, :, :, :6]
+        s4 = np.asarray(c4["s"], np.float64)[:1, :, :6]
+        # same amax per slot: scale ratio is exactly (amax/7)/(amax/127)
+        nz = s8 > 1e-11
+        np.testing.assert_allclose(s4[nz] / s8[nz], 127.0 / 7.0, rtol=1e-5)
+        # values: the int8 grid reconstructs kh to ~s8/2, so requantizing
+        # it at 4 bits must land within one int4 level of the stored q4
+        s8_b = np.moveaxis(s8, -1, 2)[..., None]  # [L,B,H,S,1]
+        s4_b = np.moveaxis(s4, -1, 2)[..., None]
+        requant = np.clip(np.round(q8 * s8_b / s4_b), -7, 7)
+        assert np.abs(requant - q4).max() <= 1.0
+        assert np.abs(q4).max() <= 7
+
+    # greedy + beam int4 decodes run end to end and stay deterministic
+    r = decode(model, mel[0],
+               DecodingOptions(language="en", fp16=False, sample_len=12,
+                               self_kv_quant=True, self_kv_bits=4))
+    r2 = decode(model, mel[0],
+                DecodingOptions(language="en", fp16=False, sample_len=12,
+                                self_kv_quant=True, self_kv_bits=4))
+    assert r.tokens == r2.tokens and len(r.tokens) > 0
+
+
+def test_self_kv_int4_beam_permute_preserves_nibbles(model, mel):
+    """Beam search with the packed int4 self cache must produce IDENTICAL
+    tokens under the one-hot MXU byte-shuffle permute and the plain
+    jnp.take gather — the permute contracts the beam axis only, so packed
+    nibbles must ride inside their bytes untouched."""
+    from whisper_at_tpu import decoding as dec_mod
+
+    opts = DecodingOptions(language="en", fp16=False, sample_len=12,
+                           beam_size=3, self_kv_quant=True, self_kv_bits=4)
+    b_matmul = decode(model, mel[0], opts)
+    orig = dec_mod._GATHER_IMPL
+    dec_mod._GATHER_IMPL = "take"
+    try:
+        jax_clear = __import__("jax").clear_caches
+        jax_clear()  # _GATHER_IMPL is read at trace time
+        b_take = decode(model, mel[0], opts)
+    finally:
+        dec_mod._GATHER_IMPL = orig
+        jax_clear()
+    assert b_matmul.tokens == b_take.tokens
+
+
 def test_grouped_cross_kv_matches_repeated(model, mel):
     """decoder_forward with shared cross-KV rows (group=K) must equal the
     same pass with the cross tensors explicitly repeated per beam."""
@@ -306,8 +395,12 @@ def test_grouped_cross_kv_matches_repeated(model, mel):
     np.testing.assert_allclose(
         np.asarray(h_shared), np.asarray(h_rep), atol=1e-5
     )
+
+
+def test_weight_quant_matches_fp_path(model, mel):
     """int8 decoder weights (per-output-channel scales) must reproduce the
-    full-precision tokens on the test model."""
+    full-precision tokens on the test model. (This body was accidentally
+    appended to the previous test before round 5 — now a proper test.)"""
     r1 = decode(model, mel[0],
                 DecodingOptions(language="en", fp16=False, sample_len=16))
     r2 = decode(model, mel[0],
@@ -315,6 +408,130 @@ def test_grouped_cross_kv_matches_repeated(model, mel):
                                 weight_quant=True))
     assert r1.tokens == r2.tokens
     assert abs(r1.avg_logprob - r2.avg_logprob) < 5e-3
+
+
+def _dequantize_tree(tree):
+    """{"w_q4"/"w_q", "w_s"} linears -> plain fp32 {"w"} linears (the int4
+    oracle: same represented values, plain-matmul consumption)."""
+    import jax.numpy as jnp
+
+    from whisper_at_tpu.models.layers import unpack4_last
+
+    if isinstance(tree, dict):
+        if "w_q4" in tree:
+            w = unpack4_last(tree["w_q4"]).astype(jnp.float32) * tree["w_s"]
+            out = {"w": w}
+            if "b" in tree:
+                out["b"] = tree["b"]
+            return out
+        if "w_q" in tree:
+            w = tree["w_q"].astype(jnp.float32) * tree["w_s"]
+            out = {"w": w}
+            if "b" in tree:
+                out["b"] = tree["b"]
+            return out
+        return {k: _dequantize_tree(v) for k, v in tree.items()}
+    return tree
+
+
+def test_weight_quant_int4_matches_dequant_oracle(model, mel):
+    """int4 decoder weights (+-7 levels packed two per byte along the out
+    axis, unpacked in the matmul operand read) must decode the SAME tokens
+    as a plain-weight model carrying the explicitly dequantized int4 values
+    — the packed path's correctness oracle. (Unlike int8, +-7 levels
+    genuinely flips fp32 tokens on the random test model, so closeness to
+    fp32 is measured as a logprob budget, not token equality; quality on
+    real weights is gated via tools/quant_divergence.py.)"""
+    from whisper_at_tpu.models.whisper import Whisper
+
+    opts = dict(language="en", fp16=False, sample_len=16)
+    r_q4 = decode(model, mel[0],
+                  DecodingOptions(**opts, weight_quant=True, weight_bits=4))
+
+    oracle = Whisper(model.dims, seed=3)  # same init as the model fixture
+    np.testing.assert_array_equal(
+        np.asarray(oracle.params["decoder"]["token_embedding"]),
+        np.asarray(model.params["decoder"]["token_embedding"]),
+    )
+    oracle._decoder_fused = _dequantize_tree(
+        model.decoder_params_decode(True, 4))
+    r_oracle = decode(oracle, mel[0], DecodingOptions(**opts))
+    assert r_q4.tokens == r_oracle.tokens
+
+    # beam path through the same packed weights
+    b_q4 = decode(model, mel[0],
+                  DecodingOptions(language="en", fp16=False, sample_len=12,
+                                  beam_size=2, weight_quant=True,
+                                  weight_bits=4))
+    b_oracle = decode(oracle, mel[0],
+                      DecodingOptions(language="en", fp16=False,
+                                      sample_len=12, beam_size=2))
+    assert b_q4.tokens == b_oracle.tokens
+
+    # int4 stays within a loose logprob budget of fp32 on the test model
+    r_fp = decode(model, mel[0], DecodingOptions(**opts))
+    assert abs(r_fp.avg_logprob - r_q4.avg_logprob) < 0.5
+
+
+def test_w4_matmul_kernel_matches_unpack_reference():
+    """The pallas int4-weight matmul (interpret mode off-TPU) must equal
+    x @ unpack4_last(wp) exactly in fp32 — the kernel's in-VMEM nibble
+    unpack against the XLA shift/concat reference, both halves-packed."""
+    import jax.numpy as jnp
+
+    from whisper_at_tpu.models.layers import pack4_last, unpack4_last
+    from whisper_at_tpu.ops.w4_matmul import w4_matmul
+
+    rng = np.random.default_rng(2)
+    q = jnp.asarray(rng.integers(-7, 8, (96, 256)), jnp.int8)
+    wp = pack4_last(q)
+    assert np.array_equal(np.asarray(unpack4_last(wp)), np.asarray(q))
+
+    x = jnp.asarray(rng.standard_normal((24, 96)), jnp.float32)
+    y_kernel = np.asarray(w4_matmul(x, wp, interpret=True))
+    y_ref = np.asarray(
+        x @ unpack4_last(wp).astype(jnp.float32))
+    np.testing.assert_allclose(y_kernel, y_ref, rtol=1e-6, atol=1e-5)
+
+    # odd packed width falls back to a single tile
+    q2 = jnp.asarray(rng.integers(-7, 8, (64, 80 * 2)), jnp.int8)
+    wp2 = pack4_last(q2)
+    x2 = jnp.asarray(rng.standard_normal((8, 64)), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(w4_matmul(x2, wp2, interpret=True)),
+        np.asarray(x2 @ unpack4_last(wp2).astype(jnp.float32)),
+        rtol=1e-6, atol=1e-5,
+    )
+
+
+def test_quantize_linear_int4_roundtrip():
+    """pack4_last/unpack4_last round-trip exactly, and the int4-quantized
+    linear is within the +-7-level grid of the fp32 linear."""
+    import jax.numpy as jnp
+
+    from whisper_at_tpu.models.layers import (
+        linear, pack4_last, quantize_linear, unpack4_last,
+    )
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.integers(-7, 8, (6, 16, 32)), jnp.int4)
+    assert np.array_equal(np.asarray(unpack4_last(pack4_last(q)), np.int8),
+                          np.asarray(q, np.int8))
+
+    params = {
+        "w": jnp.asarray(rng.standard_normal((64, 32)), jnp.float32) * 0.2,
+        "b": jnp.asarray(rng.standard_normal(32), jnp.float32) * 0.1,
+    }
+    x = jnp.asarray(rng.standard_normal((4, 64)), jnp.float32) * 0.5
+    y_fp = np.asarray(linear(params, x))
+    q4 = quantize_linear(params, bits=4)
+    assert set(q4) == {"w_q4", "w_s", "b"}
+    assert q4["w_q4"].shape == (64, 16)
+    y_q4 = np.asarray(linear(q4, x))
+    # per-channel error bound: |w - deq(w)| <= scale/2 per element
+    bound = (np.abs(np.asarray(x)) @ np.ones((64, 1))
+             * np.asarray(q4["w_s"]) / 2).max()
+    assert np.abs(y_q4 - y_fp).max() <= bound + 1e-6
 
 
 def test_beam_patience_matches_oracle(model, mel):

@@ -28,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def build_step_fn(model, weight_quant, kv_quant, self_kv_quant, kv_layout,
-                  compute_dtype, kv_bits=8):
+                  compute_dtype, kv_bits=8, weight_bits=8, self_kv_bits=8):
     import jax
     import jax.numpy as jnp
 
@@ -40,7 +40,7 @@ def build_step_fn(model, weight_quant, kv_quant, self_kv_quant, kv_layout,
     )
 
     dims = model.dims
-    dec = model.decoder_params_decode(weight_quant)
+    dec = model.decoder_params_decode(weight_quant, weight_bits)
 
     @jax.jit
     def prepare(feats):
@@ -68,7 +68,7 @@ def build_step_fn(model, weight_quant, kv_quant, self_kv_quant, kv_layout,
         sk, sv = init_cache(
             dims.n_text_layer, feats.shape[0], dims.n_text_ctx,
             dims.n_text_state, compute_dtype, dims.n_text_head,
-            quantize=self_kv_quant,
+            quantize=self_kv_quant, bits=self_kv_bits,
         )
         tokens = jnp.asarray([sot_seq], jnp.int32)
         logits_out = []
@@ -149,6 +149,17 @@ def main():
         "int4kv+int8rest": dict(weight_quant=True, kv_quant=True,
                                 self_kv_quant=True, kv_layout="heads",
                                 kv_bits=4),
+        # r5 int4 extensions: weights at +-7 levels (packed two per byte
+        # along out), self-KV nibbles along Dh, and the full byte floor
+        "weights-int4": dict(weight_quant=True, kv_quant=False,
+                             self_kv_quant=False, kv_layout="heads",
+                             weight_bits=4),
+        "self-kv-int4": dict(weight_quant=False, kv_quant=False,
+                             self_kv_quant=True, kv_layout="heads",
+                             self_kv_bits=4),
+        "all-int4": dict(weight_quant=True, kv_quant=True,
+                         self_kv_quant=True, kv_layout="heads",
+                         kv_bits=4, weight_bits=4, self_kv_bits=4),
         # fused pallas-kernel layouts (interpret mode off-TPU): the int8
         # row checks the block-diagonal kernel path, the int4 row the
         # Ta-halves nibble packing + in-kernel unpack (ops/cross_decode.py)

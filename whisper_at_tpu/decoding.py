@@ -94,10 +94,18 @@ class DecodingOptions:
     # int8-quantize the decoder matmul weights (per-output-channel scales);
     # halves the weight stream. Off by default pending real-checkpoint parity.
     weight_quant: bool = False
+    # weight quantization width when weight_quant is on: 8 (int8) or 4
+    # (+-7 levels packed two per byte along the out axis — halves the
+    # weight stream AGAIN; parity budget via tools/quant_divergence.py).
+    weight_bits: int = 8
     # int8-quantize the SELF-attention KV cache (per-slot scales). Matters
     # most in beam search, where the whole cache is re-gathered along the
     # beam axis every step. Off by default pending real-checkpoint parity.
     self_kv_quant: bool = False
+    # self-KV quantization width when self_kv_quant is on: 8 or 4 (packed
+    # two per byte along Dh — the beam permute re-streams the whole self
+    # cache every step, so bytes are the cost).
+    self_kv_bits: int = 8
     # cross-KV tensor layout: None = auto ("fused" pallas-kernel layout on
     # TPU when kv_quant, "heads" elsewhere); tests force "fused" on CPU to
     # exercise the kernel path (interpret mode) end to end.
@@ -237,6 +245,7 @@ def apply_logit_filters(
         "suppress_blank",
         "with_ts_rules",
         "self_kv_quant",
+        "self_kv_bits",
     ),
 )
 def greedy_sample_loop(
@@ -263,6 +272,7 @@ def greedy_sample_loop(
     suppress_blank: bool,
     with_ts_rules: bool,
     self_kv_quant: bool = False,
+    self_kv_bits: int = 8,
 ):
     """Greedy / temperature sampling of up to max_steps tokens, fully on device.
 
@@ -278,7 +288,7 @@ def greedy_sample_loop(
     d = (_ck_arr.shape[2] if _ck_arr.ndim == 4
          else _ck_arr.shape[2] * _ck_arr.shape[3])
     self_k, self_v = init_cache(n_layer, b, total, d, compute_dtype, n_head,
-                            quantize=self_kv_quant)
+                            quantize=self_kv_quant, bits=self_kv_bits)
 
     hidden, self_k, self_v = decoder_forward(
         dec_params, buf_init[:, :prefill], cross_k, cross_v, self_k, self_v,
@@ -728,6 +738,7 @@ def _beam_topk(filtered: jnp.ndarray, k: int):
         "suppress_blank",
         "with_ts_rules",
         "self_kv_quant",
+        "self_kv_bits",
     ),
 )
 def beam_sample_loop(
@@ -754,6 +765,7 @@ def beam_sample_loop(
     suppress_blank: bool,
     with_ts_rules: bool,
     self_kv_quant: bool = False,
+    self_kv_bits: int = 8,
 ):
     """Beam search with patience, entirely on device.
 
@@ -784,7 +796,7 @@ def beam_sample_loop(
     c_cap = max_candidates
 
     self_k, self_v = init_cache(n_layer, bk, total, d, compute_dtype, n_head,
-                            quantize=self_kv_quant)
+                            quantize=self_kv_quant, bits=self_kv_bits)
     hidden, self_k, self_v = decoder_forward(
         dec_params, buf_init[:, :prefill], cross_k, cross_v, self_k, self_v,
         jnp.int32(0), pad, n_head, compute_dtype, group=group,
@@ -1052,6 +1064,12 @@ class DecodingTask:
             0 <= options.length_penalty <= 1
         ):
             raise ValueError("length_penalty (alpha) should be a value between 0 and 1")
+        if options.kv_bits not in (8, 4):
+            raise ValueError("kv_bits must be 8 or 4")
+        if options.weight_bits not in (8, 4):
+            raise ValueError("weight_bits must be 8 or 4")
+        if options.self_kv_bits not in (8, 4):
+            raise ValueError("self_kv_bits must be 8 or 4")
         if options.draft_model is not None:
             if options.temperature != 0:
                 raise ValueError("draft_model requires temperature == 0 "
@@ -1186,7 +1204,8 @@ class DecodingTask:
         if n_group > 1:
             buf = jnp.repeat(buf, n_group, axis=0)
 
-        dec_params = self.model.decoder_params_decode(options.weight_quant)
+        dec_params = self.model.decoder_params_decode(options.weight_quant,
+                                                      options.weight_bits)
         # "fused" lays the int8 KV out for the pallas decode kernel
         # (ops/cross_decode.py) — the decode loop's dominant-stream fast path
         # on TPU; elsewhere the XLA einsum path keeps the head layout
@@ -1245,6 +1264,7 @@ class DecodingTask:
             suppress_blank=self.suppress_blank,
             with_ts_rules=self.with_ts_rules,
             self_kv_quant=self.options.self_kv_quant,
+            self_kv_bits=self.options.self_kv_bits,
         )
 
         buf_out, sum_lp, no_speech_probs, n_steps = _device_get_packed(
@@ -1426,6 +1446,7 @@ class DecodingTask:
                 suppress_blank=self.suppress_blank,
                 with_ts_rules=self.with_ts_rules,
                 self_kv_quant=self.options.self_kv_quant,
+                self_kv_bits=self.options.self_kv_bits,
             )
         )
         (fin_tokens, fin_scores, fin_count, beams, beam_lp,

@@ -88,27 +88,29 @@ def fuse_decoder_blocks(params: dict) -> dict:
     return out
 
 
-def quantize_decoder_blocks(fused_params: dict) -> dict:
-    """int8-quantize the decoder block matmul weights (per-output-channel
-    symmetric scales; see layers.quantize_linear). Halves the ~1.7 GB/token
-    weight stream of large-v1's decode loop. Opt-in
-    (DecodingOptions.weight_quant); cross-attn key/value projections stay
-    full precision since their output feeds the (optionally separately
-    quantized) KV cache."""
+def quantize_decoder_blocks(fused_params: dict, bits: int = 8) -> dict:
+    """int-quantize the decoder block matmul weights (per-output-channel
+    symmetric scales; see layers.quantize_linear). bits=8 halves the
+    ~1.7 GB/token weight stream of large-v1's decode loop; bits=4 halves it
+    again (packed two per byte, unpacked in the matmul operand read).
+    Opt-in (DecodingOptions.weight_quant / weight_bits); cross-attn
+    key/value projections stay full precision since their output feeds the
+    (optionally separately quantized) KV cache."""
     from .layers import quantize_linear
 
     blocks = dict(fused_params["blocks"])
     attn = dict(blocks["attn"])
-    attn["qkv"] = {**quantize_linear(attn["qkv"]), "b": attn["qkv"]["b"]}
-    attn["out"] = quantize_linear(attn["out"])
+    attn["qkv"] = {**quantize_linear(attn["qkv"], bits),
+                   "b": attn["qkv"]["b"]}
+    attn["out"] = quantize_linear(attn["out"], bits)
     blocks["attn"] = attn
     cross = dict(blocks["cross_attn"])
-    cross["query"] = quantize_linear(cross["query"])
-    cross["out"] = quantize_linear(cross["out"])
+    cross["query"] = quantize_linear(cross["query"], bits)
+    cross["out"] = quantize_linear(cross["out"], bits)
     blocks["cross_attn"] = cross
     mlp_p = dict(blocks["mlp"])
-    mlp_p["fc1"] = quantize_linear(mlp_p["fc1"])
-    mlp_p["fc2"] = quantize_linear(mlp_p["fc2"])
+    mlp_p["fc1"] = quantize_linear(mlp_p["fc1"], bits)
+    mlp_p["fc2"] = quantize_linear(mlp_p["fc2"], bits)
     blocks["mlp"] = mlp_p
 
     out = dict(fused_params)
@@ -118,7 +120,7 @@ def quantize_decoder_blocks(fused_params: dict) -> dict:
 
 def init_cache(
     n_layer: int, batch: int, n_ctx: int, n_state: int, dtype, n_head: int,
-    quantize: bool = False,
+    quantize: bool = False, bits: int = 8,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Self-attention KV cache in head-split row layout [L, B, H, ctx, Dh].
 
@@ -129,22 +131,34 @@ def init_cache(
     (precompute_cross_kv) — re-transposing 1.9 GB per token was the decode
     loop's dominant cost.
 
-    quantize=True stores int8 values with per-(layer,row,head,slot) fp32
-    scales ({"q": int8, "s": fp32[L,B,H,ctx]}) — halves the cache bytes,
-    which matters most in beam search where the whole cache is re-gathered
-    along the beam axis every step.
+    quantize=True stores int values with per-(layer,row,head,slot) fp32
+    scales — halves (bits=8: {"q": int8, "s": fp32[L,B,ctx,H]}) or quarters
+    (bits=4: {"q4": packed int8 [.., Dh/2], "s"} — two +-7 nibbles per byte
+    along Dh) the cache bytes, which matters most in beam search where the
+    whole cache is re-streamed through the one-hot byte-shuffle permute
+    along the beam axis every step (packed nibbles ride inside the bytes
+    untouched — the permute contracts the B axis only).
     """
     d_head = n_state // n_head
-    shape = (n_layer, batch, n_head, n_ctx, d_head)
     if quantize:
         # scales live as [L, B, ctx, H]: the per-step dynamic write lands on
         # the SUBLANE (ctx) axis — a dynamic write on the lane-minor axis
         # stalls the TPU (same rule that dictates the row layout above)
-        cache = {
-            "q": jnp.zeros(shape, jnp.int8),
-            "s": jnp.zeros((n_layer, batch, n_ctx, n_head), jnp.float32),
-        }
+        scales = jnp.zeros((n_layer, batch, n_ctx, n_head), jnp.float32)
+        if bits == 4:
+            cache = {
+                "q4": jnp.zeros(
+                    (n_layer, batch, n_head, n_ctx, d_head // 2), jnp.int8),
+                "s": scales,
+            }
+        else:
+            cache = {
+                "q": jnp.zeros(
+                    (n_layer, batch, n_head, n_ctx, d_head), jnp.int8),
+                "s": scales,
+            }
         return cache, {k: v.copy() for k, v in cache.items()}
+    shape = (n_layer, batch, n_head, n_ctx, d_head)
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 
 
@@ -570,7 +584,8 @@ def decoder_forward(
     Project to vocabulary logits with `project_logits` on the positions you
     need — avoids materializing [B, S, V] during prefill.
     """
-    n_ctx = (self_k["q"] if isinstance(self_k, dict) else self_k).shape[-2]
+    n_ctx = (self_k.get("q", self_k.get("q4"))
+             if isinstance(self_k, dict) else self_k).shape[-2]
     s = tokens.shape[1]
 
     pos = write_pos + jnp.arange(s, dtype=jnp.int32) - pad
@@ -611,40 +626,48 @@ def decoder_forward(
         qh = _split_v(q, n_head)  # [B, H, S, Dh]
         kh_new = _split_v(k_new, n_head)
         vh_new = _split_v(v_new, n_head)
-        if isinstance(sk_all, dict):  # int8 self cache
-            kq = _quantize_sym(kh_new, axis=-1)
-            vq = _quantize_sym(vh_new, axis=-1)
+        if isinstance(sk_all, dict):  # int self cache (int8 or packed int4)
+            packed = "q4" in sk_all
+            qkey = "q4" if packed else "q"
+            kq = _quantize_sym(kh_new, axis=-1, bits=4 if packed else 8)
+            vq = _quantize_sym(vh_new, axis=-1, bits=4 if packed else 8)
+            kq_pay = _pack4(kq["q"]) if packed else kq["q"]
+            vq_pay = _pack4(vq["q"]) if packed else vq["q"]
             # scale updates: [B, H, S, 1] -> [B, S, H] (ctx-axis write)
             ks_new = kq["s"][..., 0].transpose(0, 2, 1)
             vs_new = vq["s"][..., 0].transpose(0, 2, 1)
             sk_all = {
-                "q": jax.lax.dynamic_update_slice(
-                    sk_all["q"], kq["q"][None], (layer_idx, 0, 0, write_pos, 0)
+                qkey: jax.lax.dynamic_update_slice(
+                    sk_all[qkey], kq_pay[None], (layer_idx, 0, 0, write_pos, 0)
                 ),
                 "s": jax.lax.dynamic_update_slice(
                     sk_all["s"], ks_new[None], (layer_idx, 0, write_pos, 0)
                 ),
             }
             sv_all = {
-                "q": jax.lax.dynamic_update_slice(
-                    sv_all["q"], vq["q"][None], (layer_idx, 0, 0, write_pos, 0)
+                qkey: jax.lax.dynamic_update_slice(
+                    sv_all[qkey], vq_pay[None], (layer_idx, 0, 0, write_pos, 0)
                 ),
                 "s": jax.lax.dynamic_update_slice(
                     sv_all["s"], vs_new[None], (layer_idx, 0, write_pos, 0)
                 ),
             }
             k_q = jax.lax.dynamic_index_in_dim(
-                sk_all["q"], layer_idx, 0, keepdims=False
+                sk_all[qkey], layer_idx, 0, keepdims=False
             )
             k_s = jax.lax.dynamic_index_in_dim(
                 sk_all["s"], layer_idx, 0, keepdims=False
             ).transpose(0, 2, 1)  # [B, ctx, H] -> [B, H, ctx]
             v_q = jax.lax.dynamic_index_in_dim(
-                sv_all["q"], layer_idx, 0, keepdims=False
+                sv_all[qkey], layer_idx, 0, keepdims=False
             )
             v_s = jax.lax.dynamic_index_in_dim(
                 sv_all["s"], layer_idx, 0, keepdims=False
             ).transpose(0, 2, 1)
+            if packed:
+                # nibble unpack fuses into the attention operand reads
+                k_q = _unpack_q({"q4": k_q})
+                v_q = _unpack_q({"q4": v_q})
             scale = jnp.float32(qh.shape[-1] ** -0.5)
             qk = (
                 jnp.einsum(

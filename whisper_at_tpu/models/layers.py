@@ -11,7 +11,9 @@ fp32, matmul weights cast to the activation dtype. On TPU "half precision"
 means bfloat16.
 """
 
+import functools
 import math
+import os
 from typing import Optional
 
 import jax
@@ -53,14 +55,64 @@ def layer_norm(params: dict, x: jnp.ndarray) -> jnp.ndarray:
     return out.astype(dtype)
 
 
+def pack4_last(x: jnp.ndarray) -> jnp.ndarray:
+    """int values in [-7, 7], last axis [..., N] -> HALVES-packed int8
+    [..., N/2]: byte j holds position j (low nibble) and position N/2+j
+    (high nibble) — the same Ta-halves convention the fused cross-decode
+    kernel uses (ops/cross_decode.py), because Mosaic cannot lower the
+    lane-interleaving reshape a pairwise packing would need, and the XLA
+    unpack is a shift/concat with no interleave either. Stored as int8
+    (an eager int4 array would trip the S4-layout device_put recursion
+    bug — models/decoder._pack4)."""
+    n = x.shape[-1] // 2
+    lo = x[..., :n].astype(jnp.int32) & 0xF
+    hi = x[..., n:].astype(jnp.int32) & 0xF
+    return jax.lax.bitcast_convert_type(
+        (lo | (hi << 4)).astype(jnp.uint8), jnp.int8
+    )
+
+
+def unpack4_last(p: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of pack4_last: halves-packed int8 [..., N/2] -> int8 values
+    [..., N] in natural order (sign-extended nibbles, shift/concat only)."""
+    p32 = p.astype(jnp.int32)
+    low = jnp.right_shift(jnp.left_shift(p32, 28), 28)
+    high = jnp.right_shift(jnp.left_shift(p32, 24), 28)
+    return jnp.concatenate([low, high], axis=-1).astype(jnp.int8)
+
+
 def linear(params: dict, x: jnp.ndarray) -> jnp.ndarray:
     """y = x @ w + b with w stored [in, out]; weights cast to x.dtype.
 
-    Also accepts int8-quantized weights {"w_q": int8 [in, out],
-    "w_s": fp32 [1, out]} (per-output-channel symmetric scales): the dequant
-    folds into the matmul epilogue, so HBM reads halve.
+    Also accepts int-quantized weights (per-output-channel symmetric
+    scales, the dequant folds into the matmul epilogue):
+      {"w_q": int8 [in, out], "w_s": fp32 [1, out]}          — HBM reads /2
+      {"w_q4": packed int8 [in, out/2], "w_s": fp32 [1, out]} — HBM reads /4
     """
-    if "w_q" in params:
+    if "w_q4" in params:
+        wp = params["w_q4"]
+        lead, k = x.shape[:-1], x.shape[-1]
+        m = 1
+        for s in lead:
+            m *= int(s)
+        # pallas fused-unpack path (decode steps: small M, bf16, TPU):
+        # streaming packed bytes + VPU nibble unpack in VMEM is the whole
+        # point of int4 weights — the XLA fallback materializes the unpack
+        # OUTSIDE the decode loop and streams full-width weights instead
+        # (measured 1.5x slower than int8; ops/w4_matmul.py docstring)
+        from ..ops.w4_matmul import HAVE_PALLAS, w4_matmul
+
+        if (wp.ndim == 2 and m <= 256 and HAVE_PALLAS
+                and x.dtype == jnp.bfloat16
+                and jax.default_backend() == "tpu"
+                and os.environ.get("WHISPER_AT_TPU_W4_MATMUL") != "off"):
+            y = w4_matmul(x.reshape(m, k), wp).astype(x.dtype)
+            y = y.reshape(*lead, y.shape[-1])
+        else:
+            w = unpack4_last(wp).astype(x.dtype)
+            y = jnp.matmul(x, w, precision=matmul_precision(x.dtype))
+        y = y * params["w_s"].astype(x.dtype)
+    elif "w_q" in params:
         y = jnp.matmul(
             x, params["w_q"].astype(x.dtype), precision=matmul_precision(x.dtype)
         )
@@ -73,17 +125,36 @@ def linear(params: dict, x: jnp.ndarray) -> jnp.ndarray:
     return y
 
 
-def quantize_linear(params: dict) -> dict:
-    """Symmetric per-output-channel int8 quantization of a linear layer.
+@functools.partial(jax.jit, static_argnames=("bits",))
+def _quantize_w(w: jnp.ndarray, bits: int):
+    """(payload, scale) of a symmetric per-output-channel quantization.
+
+    Jitted so the large weight tensors quantize on device in one fused
+    program (the bits=4 path never materializes an int4 array at all —
+    halves nibbles are packed with integer shifts)."""
+    w = w.astype(jnp.float32)
+    qmax = {8: 127.0, 4: 7.0}[bits]
+    amax = jnp.max(jnp.abs(w), axis=-2, keepdims=True)
+    scale = amax / qmax + 1e-12
+    q = jnp.clip(jnp.round(w / scale), -qmax, qmax)
+    if bits == 4:
+        return pack4_last(q.astype(jnp.int8)), scale
+    return q.astype(jnp.int8), scale
+
+
+def quantize_linear(params: dict, bits: int = 8) -> dict:
+    """Symmetric per-output-channel int quantization of a linear layer.
 
     Works on both single [in, out] and layer-stacked [L, in, out] weights:
     the reduction is over the `in` axis (axis=-2), giving [.., 1, out] scales.
+    bits=8 stores int8 (+-127 levels); bits=4 stores +-7 levels packed two
+    per byte along the OUT axis (pack4_last) — a second halving of the
+    decode loop's weight stream at a parity cost quantified by
+    tools/quant_divergence.py.
     """
-    w = params["w"].astype(jnp.float32)
-    amax = jnp.max(jnp.abs(w), axis=-2, keepdims=True)
-    scale = amax / 127.0 + 1e-12
-    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
-    out = {"w_q": q, "w_s": scale}
+    payload, scale = _quantize_w(params["w"], bits)
+    out = ({"w_q4": payload, "w_s": scale} if bits == 4
+           else {"w_q": payload, "w_s": scale})
     if "b" in params:
         out["b"] = params["b"]
     return out

@@ -69,7 +69,7 @@ class Whisper:
             }
         self.params = params
         self._decoder_fused = None
-        self._decoder_fused_q = None
+        self._decoder_fused_q = {}  # bits -> quantized fused params
 
     @property
     def decoder_params_fused(self) -> dict:
@@ -82,13 +82,16 @@ class Whisper:
             self._decoder_fused = fuse_decoder_blocks(self.params["decoder"])
         return self._decoder_fused
 
-    def decoder_params_decode(self, weight_quant: bool = False) -> dict:
-        """Decode-path decoder params: fused, optionally int8-weight-quantized."""
+    def decoder_params_decode(self, weight_quant: bool = False,
+                              weight_bits: int = 8) -> dict:
+        """Decode-path decoder params: fused, optionally int8/int4-weight-
+        quantized (one cached quantization per bit width)."""
         if not weight_quant:
             return self.decoder_params_fused
-        if self._decoder_fused_q is None:
-            self._decoder_fused_q = quantize_decoder_blocks(self.decoder_params_fused)
-        return self._decoder_fused_q
+        if self._decoder_fused_q.get(weight_bits) is None:
+            self._decoder_fused_q[weight_bits] = quantize_decoder_blocks(
+                self.decoder_params_fused, weight_bits)
+        return self._decoder_fused_q[weight_bits]
 
     # ------------------------------------------------------------------ #
     @property

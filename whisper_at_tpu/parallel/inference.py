@@ -114,9 +114,9 @@ def place_model_tp(model, mesh: Mesh):
     # re-place them (fusion concatenates [q|k|v] along the sharded dim,
     # which GSPMD would otherwise resolve with gathers at trace time)
     model._decoder_fused = None
-    model._decoder_fused_q = None
+    model._decoder_fused_q = {}
     model._decoder_fused = _place_tree_tp(model.decoder_params_fused, mesh)
-    model._decoder_fused_q = _place_tree_tp(
+    model._decoder_fused_q[8] = _place_tree_tp(
         model.decoder_params_decode(True), mesh
     )
     model._mesh = mesh
