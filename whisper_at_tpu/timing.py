@@ -60,7 +60,11 @@ def find_alignment(
     *,
     medfilt_width: int = 7,
     qk_scale: float = 1.0,
+    audio_features=None,
 ) -> List[WordTiming]:
+    """audio_features: optional [F, D] (or [1, F, D]) encoder output already
+    computed by the decode pass (DecodingResult.audio_features) — skips the
+    encoder recompute, same as the batched path."""
     if len(text_tokens) == 0:
         return []
 
@@ -81,10 +85,16 @@ def find_alignment(
     sel_slot = np.full((n_layer, n_head), n_sel, np.int32)
     sel_slot[head_mask] = np.arange(n_sel)
 
-    if mel.ndim == 2:
-        mel = mel[None]
     dtype = _align_dtype(model)
-    audio_features, _ = model.embed_audio(mel, fp16=(dtype == jnp.bfloat16))
+    if audio_features is not None:
+        audio_features = jnp.asarray(audio_features)
+        if audio_features.ndim == 2:
+            audio_features = audio_features[None]
+    else:
+        if mel.ndim == 2:
+            mel = mel[None]
+        audio_features, _ = model.embed_audio(
+            mel, fp16=(dtype == jnp.bfloat16))
 
     logits, qk = decoder_forward_with_qk(
         model.params["decoder"],

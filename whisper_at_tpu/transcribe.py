@@ -144,7 +144,8 @@ def _tag_window(model, grid: TagGrid, seek: int, result: DecodingResult,
 
 
 def _attach_word_timings(model, tokenizer, segments, mel_window, num_frames,
-                         prepend_punctuations, append_punctuations) -> None:
+                         prepend_punctuations, append_punctuations,
+                         audio_features=None) -> None:
     from .timing import add_word_timestamps
 
     add_word_timestamps(
@@ -155,6 +156,7 @@ def _attach_word_timings(model, tokenizer, segments, mel_window, num_frames,
         num_frames=num_frames,
         prepend_punctuations=prepend_punctuations,
         append_punctuations=append_punctuations,
+        audio_features=audio_features,
     )
 
 
@@ -268,9 +270,12 @@ def transcribe(
             ]
 
             if word_timestamps:
+                # the decode pass already computed this window's encoder
+                # output — reuse it for the alignment forward
                 _attach_word_timings(
                     model, tokenizer, new_segments, window, segment_size,
                     prepend_punctuations, append_punctuations,
+                    audio_features=result.audio_features,
                 )
                 # refine the seek to just past the last attributed word
                 # (transcribe.py:356-365); only when the window did NOT end
