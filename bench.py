@@ -165,11 +165,13 @@ def build_parser():
     parser.add_argument("--extract", action="store_true",
                         help="measure AudioSet-protocol feature-extraction "
                         "throughput (batched 10 s clips -> all-layer taps "
-                        "-> device 20x pooling -> fp32 host fetch) instead "
+                        "-> device 20x pooling -> bf16 fetch + fp32 widen) "
+                        "instead "
                         "of transcription")
     parser.add_argument("--words", action="store_true",
                         help="transcribe with word_timestamps=True (batched "
-                             "alignment attach: one fp32 encoder + QK "
+                             "alignment attach: reused decode-pass "
+                             "features + one QK "
                              "decoder forward per 8-window chunk + host "
                              "DTW); measures the feature's full cost on "
                              "top of the headline pipeline")
@@ -398,7 +400,10 @@ def run_measurement(args):
         result["windows_per_s"] = round(n_windows / best, 2)
         result["padding_multiplier"] = round(
             audio_seconds / (30.0 * n_windows), 3)
-    else:
+    elif "beam_size" not in common:
+        # greedy rows only: the analytic FLOP/byte model assumes one
+        # decode row per window (beam multiplies rows by K and reorders
+        # the cache — a different byte model)
         result.update(_utilization_columns(model, args, best))
     if "draft_model" in common:
         from whisper_at_tpu import decoding as _dec
@@ -1073,9 +1078,10 @@ def orchestrate(args):
         info_row("headline-resident-input", ["--resident"])
 
     # the headline with word timestamps on — the batched alignment attach
-    # (timing.add_word_timestamps_many: one fp32 encoder + QK decoder
-    # forward per 8-window chunk + host DTW), so the feature's measured
-    # cost on top of the headline pipeline is driver-auditable
+    # (timing.add_word_timestamps_many: decode-pass encoder features
+    # reused + one model-dtype QK decoder forward per chunk + host DTW),
+    # so the feature's measured cost on top of the headline pipeline is
+    # driver-auditable
     if not args.words:
         info_row("headline-words", ["--words"])
     return 0

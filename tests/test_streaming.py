@@ -507,11 +507,12 @@ def test_streaming_service_warmup(model):
     with StreamingService(model, max_wait_s=0.05) as service:
         r = service.warmup(2, seconds=31.0, **OPTS)
         assert r["sessions"] == 2 and r["seconds"] > 0
-        # the full batch-bucket ladder below n is driven (one cold bucket
-        # compile mid-drive costs tens of tunneled seconds — 2026-08-20)
-        assert r["buckets"] == [2, 1]
+        # the full batch-bucket ladder below n PLUS one rung above is
+        # driven (straggler/catch-up batches can exceed n windows; one
+        # cold bucket compile mid-drive costs tens of tunneled seconds)
+        assert r["buckets"] == [4, 2, 1]
         stats = service.stats()
-        assert stats["windows"] >= 3  # ladder: 2 + 1 first windows
+        assert stats["windows"] >= 7  # ladder: 4 + 2 + 1 first windows
         # the service still serves a real session afterwards
         sess = service.open(**OPTS)
         sess.feed(_clicky_audio(31, seed=9))

@@ -1,8 +1,9 @@
 """A/B the batched word-timestamp alignment against the per-window path.
 
-word_timestamps=True adds, per 30 s window, an fp32 alignment forward
-(encoder + QK-capturing decoder) plus host DTW. The batched attach
-(timing.add_word_timestamps_many) runs ONE such forward per 8-window chunk
+word_timestamps=True adds, per 30 s window, an alignment forward (the
+decode pass's encoder output is REUSED; one model-dtype QK-capturing
+decoder forward) plus host DTW. The batched attach
+(timing.add_word_timestamps_many) runs ONE such forward per packed chunk
 and pulls [G, S] token probabilities instead of a [S, V] logits tensor per
 window; WHISPER_AT_TPU_ALIGN=solo reverts to the per-window path. This
 measures both on the same long audio, plus the no-word-timestamps baseline

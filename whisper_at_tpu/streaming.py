@@ -643,15 +643,23 @@ class StreamingService:
             for th in threads:
                 th.join()
 
-        # every bucket <= n, largest first: a production drive mostly
-        # coalesces full batches, but straggler/finish batches land on the
-        # smaller buckets, and ONE cold large-v1 bucket compile mid-drive
-        # (tens of seconds on a tunneled backend) wrecks p95 finalize —
-        # observed 2026-08-20: a single-wave warmup left buckets {1,2,4}
-        # cold and a 3-min 8-stream drive measured 22 audio-s/s with p95
-        # 25 s; full-ladder warmup restored the steady state
+        # every bucket <= n PLUS one rung above, largest first: a
+        # production drive mostly coalesces full batches, but
+        # straggler/finish batches land on the smaller buckets, and when
+        # sessions queue more than one window apiece (catch-up after a
+        # stall, saturated feeds) a batch can exceed n windows and land
+        # one bucket up (r5: a 12-stream drive produced 15-window
+        # batches -> bucket 16). ONE cold large-v1 bucket compile
+        # mid-drive (tens of seconds on a tunneled backend) wrecks p95
+        # finalize — observed 2026-08-20: a single-wave warmup left
+        # buckets {1,2,4} cold and a 3-min 8-stream drive measured
+        # 22 audio-s/s with p95 25 s; full-ladder warmup restored the
+        # steady state
+        top = min(2 * _batch_bucket(int(n), self.max_batch),
+                  self.max_batch)
         ladder = sorted({_batch_bucket(k, self.max_batch)
-                         for k in range(1, int(n) + 1)}, reverse=True)
+                         for k in list(range(1, int(n) + 1)) + [top]},
+                        reverse=True)
         t0 = _time.monotonic()
         for k in ladder:
             drive_k(k)
