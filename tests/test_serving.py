@@ -594,3 +594,26 @@ def test_service_warmup_buckets(model):
         assert svc.stats()["requests"] == 0  # bypasses the scheduler
         res = svc.transcribe(clip(2, 7))
         assert "segments" in res and "audio_tag" in res
+
+
+def test_serve_prof_stage_accounting(model):
+    """WHISPER_AT_TPU_SERVE_PROF instrumentation (tools/profile_serving.py)
+    records every transcribe_many stage plus the scheduler's own stages,
+    and stays a zero-overhead nullcontext when disabled."""
+    from whisper_at_tpu.transcribe import _serve_prof as prof
+    assert prof.snapshot() == {}  # disabled by default: nothing recorded
+
+    was = prof.enabled
+    prof.enabled = True
+    try:
+        with TranscriptionService(model, max_wait_s=0.05, **OPTS) as svc:
+            svc.submit(clip(2, 7)).result()
+        stages = prof.snapshot()
+    finally:
+        prof.enabled = was
+        prof.snapshot()
+    for key in ("frontend-mel", "decode", "tag-dispatch", "assembly",
+                "tag-commit", "emit", "sched-fill", "sched-settle"):
+        assert key in stages, key
+        assert stages[key]["count"] >= 1
+    assert stages["decode"]["wall_ms"] > 0
