@@ -154,3 +154,36 @@ def test_int4_weight_lanes_base_geometry(pair, mel):
         wat.DecodingOptions(language="en", fp16=False, temperature=0.0,
                             sample_len=12))
     assert r_q4.tokens == r_oracle.tokens
+
+
+def test_find_alignment_base_geometry(pair):
+    """find_alignment word boundaries vs the literal reference at head_dim
+    64 — the QK-capture decoder forward (decoder_forward_with_qk) and the
+    weight-processing chain at production lane geometry. Uses the DEFAULT
+    alignment-head mask (all heads of the last half of layers), same as
+    the toy-dims differential (reference timing.py:163-255)."""
+    import sys
+
+    from whisper_at_tpu.timing import find_alignment as my_find_alignment
+    from whisper_at_tpu.tokenizer import get_tokenizer as my_get_tokenizer
+
+    mine, ref, refmod = pair
+    ref_fa = sys.modules["ref_whisper_at.timing"].find_alignment
+    rtok = refmod.tokenizer.get_tokenizer(True, language="en",
+                                          task="transcribe")
+    mtok = my_get_tokenizer(True, language="en", task="transcribe")
+    text_tokens = mtok.encode(" hello world this is a test")
+    rng = np.random.default_rng(4)
+    audio = (0.2 * rng.standard_normal(16000 * 8)).astype(np.float32)
+    mel30 = refmod.pad_or_trim(
+        refmod.log_mel_spectrogram(torch.from_numpy(audio)), 3000
+    )
+    with torch.no_grad():
+        rw = ref_fa(ref, rtok, text_tokens, mel30, num_frames=800)
+    mw = my_find_alignment(mine, mtok, text_tokens,
+                           np.asarray(mel30.numpy()), num_frames=800)
+    assert [w.word for w in rw] == [w.word for w in mw]
+    for a, b in zip(rw, mw):
+        assert abs(a.start - b.start) <= 0.02 + 1e-9
+        assert abs(a.end - b.end) <= 0.02 + 1e-9
+        assert abs(a.probability - b.probability) < 1e-3
