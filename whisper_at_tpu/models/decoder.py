@@ -854,13 +854,20 @@ def decoder_forward_with_qk(
     alignment heads (functional replacement for the reference's forward hooks,
     whisper_at/timing.py:185-191).
 
-    Returns (logits [B, S, V] fp32, qk_sel [B, n_sel, S, F] fp32) where
+    Returns (logits [B, S, V] fp32, qk_sel [B, n_sel, S, F]) where
     qk_sel rows are the pre-softmax cross-attention logits of the selected
-    (layer, head) pairs, already scaled by d_head**-0.5. Batched rows are
-    independent (causal self-attention), so right-padded token rows give
-    the same valid-position outputs as their exact-length solo forwards —
-    the batched word-timing alignment (timing.find_alignment_batched)
-    relies on this.
+    (layer, head) pairs, already scaled by d_head**-0.5. The capture
+    buffer matches the FORWARD's precision class — fp32 for an fp32
+    compute (tests/CPU), bf16 for a bf16 compute (the reference's hooks
+    likewise capture in the model dtype — fp16 on GPU): with the default
+    alignment mask the buffer is the alignment pass's dominant HBM
+    tensor (~gigabytes at large-v1), and storing fp32 logits computed in
+    bf16 would double that traffic for no information. The weight chain
+    (timing._process_qk_weights) upcasts to fp32 at its first read.
+    Batched rows are independent (causal self-attention), so right-padded
+    token rows give the same valid-position outputs as their exact-length
+    solo forwards — the batched word-timing alignment
+    (timing.find_alignment_batched) relies on this.
     """
     b, s = tokens.shape
     x = (
@@ -875,7 +882,9 @@ def decoder_forward_with_qk(
     xa = xa.astype(compute_dtype)
     f = xa.shape[1]
     # last slot row = drop
-    qk_buf = jnp.zeros((b, n_sel + 1, s, f), jnp.float32)
+    buf_dtype = (jnp.float32 if compute_dtype == jnp.float32
+                 else jnp.bfloat16)
+    qk_buf = jnp.zeros((b, n_sel + 1, s, f), buf_dtype)
 
     def body(carry, xs):
         h, qk_buf = carry
@@ -900,7 +909,7 @@ def decoder_forward_with_qk(
         attn_out, qk = attention(q, ck, cv, n_head, return_qk=True)
         h = h + linear(block_params["cross_attn"]["out"], attn_out)
         # qk [B, H, S, F] fp32; scatter this layer's selected heads
-        qk_buf = qk_buf.at[:, slot_row].set(qk)
+        qk_buf = qk_buf.at[:, slot_row].set(qk.astype(qk_buf.dtype))
 
         h = h + mlp(block_params["mlp"], layer_norm(block_params["mlp_ln"], h))
         return (h, qk_buf), None

@@ -149,6 +149,9 @@ def _process_qk_weights(qk, num_frames, qk_scale, medfilt_width, lens=None):
     one compile per distinct tail-window length — only final windows of a
     stream differ from 3000 frames, so churn is bounded at one compile per
     distinct recording length actually seen."""
+    # the capture buffer may be bf16 (decoder_forward_with_qk stores in
+    # the forward's precision class); the whole chain runs fp32 from here
+    qk = qk.astype(jnp.float32)
     weights = qk[:, :, :, : num_frames // 2]
     weights = jnp.exp(
         weights * qk_scale
